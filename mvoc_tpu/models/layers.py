@@ -1,0 +1,446 @@
+"""Core network layers for the TPU-native I2VGen-XL stack (flax.linen).
+
+Everything is channels-last (TPU/XLA's preferred conv layout):
+  * per-frame ("2D") tensors:  [B*F, H, W, C]
+  * temporal ("3D") tensors:   [B, F, H, W, C]
+  * token tensors:             [B, S, C]
+
+Layer semantics mirror the diffusers modules the reference exercises
+(reference: i2vgen-xl/pipelines/pipeline_i2vgen_xl.py:103-362 uses
+time_proj/time_embedding/fps_embedding/TransformerTemporalModel/
+Transformer2DModel/ResnetBlock2D/TemporalConvLayer via the stock UNet blocks;
+pnp_utils.py:563-1159 documents their internals), but the implementation is
+JAX-first: pure functions of parameters, fp32 softmax/norm statistics, and
+explicit PnP Q/K-edit hooks instead of monkey-patched processors.
+
+Module names are chosen so the parameter pytree mirrors the HF checkpoint
+key paths (see models/convert.py for the exact mapping rules).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# A QKEdit receives (q, k) immediately after the q/k projections (pre-head
+# split) and returns edited (q, k).  This is the functional replacement for
+# the reference's modified attention processors (pnp_utils.py:604-672).
+QKEdit = Callable[[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]
+
+
+def timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: int = 10000,
+) -> jax.Array:
+    """Sinusoidal timestep embedding (diffusers `Timesteps` semantics; the
+    UNet builds time and fps embeddings from it — reference:
+    pipeline_i2vgen_xl.py:182, 193)."""
+    half_dim = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """linear_1 -> silu -> linear_2 (diffusers TimestepEmbedding)."""
+
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jax.Array) -> jax.Array:
+        sample = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(sample)
+        sample = nn.silu(sample)
+        sample = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(sample)
+        return sample
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics, matching torch nn.GroupNorm semantics:
+    normalizes over (all non-batch spatial dims, channel group).  Input is
+    channels-last with a single leading batch dim."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, f"channels {c} not divisible by groups {g}"
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        shape = xf.shape
+        xg = xf.reshape(shape[0], -1, g, c // g)  # [B, spatial, G, C/G]
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        xf = xg.reshape(shape) * scale + bias
+        return xf.astype(orig_dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics (torch default eps 1e-5)."""
+
+    epsilon: float = 1e-5
+    use_bias: bool = True
+    use_scale: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            xf = xf * self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        if self.use_bias:
+            xf = xf + self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return xf.astype(orig_dtype)
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Scaled dot-product attention over [B, S, H*D] projections.
+
+    Softmax in fp32 (bf16 accumulation is too lossy for 500-step inversion).
+    XLA fuses this well on TPU; a Pallas flash kernel can be slotted in here
+    for long-sequence configs (see ops/attention.py).
+    """
+    b, sq, inner = q.shape
+    sk = k.shape[1]
+    d = inner // heads
+    q = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+    k = k.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+    v = v.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+
+class Attention(nn.Module):
+    """Multi-head attention (diffusers `Attention`): to_q/to_k/to_v without
+    bias, to_out.0 with bias.  Optional cross-attention context; optional
+    PnP Q/K edit applied post-projection, pre-head-split (the exact point
+    the reference edits — pnp_utils.py:604-668)."""
+
+    query_dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None  # None -> self attention
+    out_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        encoder_hidden_states: Optional[jax.Array] = None,
+        qk_edit: Optional[QKEdit] = None,
+    ) -> jax.Array:
+        inner = self.heads * self.dim_head
+        ctx = encoder_hidden_states if encoder_hidden_states is not None else hidden_states
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden_states)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if qk_edit is not None:
+            q, k = qk_edit(q, k)
+        out = sdpa(q, k, v, self.heads)
+        out = nn.Dense(self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0")(out)
+        return out
+
+
+class FeedForward(nn.Module):
+    """diffusers FeedForward.  activation: 'geglu' (net.0 = GEGLU proj to
+    2*inner, gated gelu) or 'gelu' (net.0 = Linear+gelu).  net.2 = Linear."""
+
+    dim: int
+    inner_dim: Optional[int] = None  # default 4*dim
+    activation: str = "geglu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.inner_dim or self.dim * 4
+        if self.activation == "geglu":
+            h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * jax.nn.gelu(gate, approximate=False)
+        elif self.activation == "gelu":
+            h = nn.Dense(inner, dtype=self.dtype, name="net_0_proj")(x)
+            h = jax.nn.gelu(h, approximate=False)
+        else:
+            raise ValueError(f"unknown activation {self.activation}")
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """norm1->attn1(self) + norm2->attn2(cross or 2nd self) + norm3->ff,
+    all residual (diffusers BasicTransformerBlock).
+
+    double_self_attention=True makes attn2 a second self-attention — the
+    configuration of all temporal transformers here (their `attn2` never
+    receives encoder states: pipeline blocks call temp_attentions without
+    encoder_hidden_states)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None
+    double_self_attention: bool = False
+    activation: str = "geglu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        encoder_hidden_states: Optional[jax.Array] = None,
+        attn1_qk_edit: Optional[QKEdit] = None,
+    ) -> jax.Array:
+        h = LayerNorm(dtype=self.dtype, name="norm1")(hidden_states)
+        h = Attention(
+            query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+            dtype=self.dtype, name="attn1",
+        )(h, qk_edit=attn1_qk_edit)
+        hidden_states = h + hidden_states
+
+        h = LayerNorm(dtype=self.dtype, name="norm2")(hidden_states)
+        ctx = None if self.double_self_attention else encoder_hidden_states
+        h = Attention(
+            query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+            cross_attention_dim=None if self.double_self_attention else self.cross_attention_dim,
+            dtype=self.dtype, name="attn2",
+        )(h, encoder_hidden_states=ctx)
+        hidden_states = h + hidden_states
+
+        h = LayerNorm(dtype=self.dtype, name="norm3")(hidden_states)
+        h = FeedForward(dim=self.dim, activation=self.activation, dtype=self.dtype, name="ff")(h)
+        return h + hidden_states
+
+
+class Transformer2DModel(nn.Module):
+    """Spatial transformer over per-frame tokens.
+
+    Input [B*F, H, W, C] -> GroupNorm -> proj_in -> blocks over h*w tokens
+    (cross-attending to `encoder_hidden_states` [B*F, S, ctx_dim]) ->
+    proj_out -> +residual.  (diffusers Transformer2DModel, num_layers=1 in
+    all I2VGen-XL blocks.)"""
+
+    in_channels: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: int
+    num_layers: int = 1
+    norm_num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        encoder_hidden_states: jax.Array,
+        attn1_qk_edit: Optional[QKEdit] = None,
+    ) -> jax.Array:
+        bf, h, w, c = hidden_states.shape
+        inner = self.heads * self.dim_head
+        residual = hidden_states
+        x = GroupNorm(self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(hidden_states)
+        x = x.reshape(bf, h * w, c)
+        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        for i in range(self.num_layers):
+            x = BasicTransformerBlock(
+                dim=inner, heads=self.heads, dim_head=self.dim_head,
+                cross_attention_dim=self.cross_attention_dim,
+                dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(x, encoder_hidden_states, attn1_qk_edit=attn1_qk_edit if i == 0 else None)
+        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        return x.reshape(bf, h, w, c) + residual
+
+
+class TransformerTemporalModel(nn.Module):
+    """Temporal transformer: attention across the frame axis per pixel.
+
+    Input [B*F, H, W, C] + num_frames -> GroupNorm over the *joint*
+    (F, H, W, group) statistics (the torch module normalizes the 5D
+    [B,C,F,H,W] tensor) -> tokens [B*H*W, F, C] -> proj_in -> blocks
+    (double self-attention) -> proj_out -> +residual."""
+
+    in_channels: int
+    heads: int
+    dim_head: int
+    num_layers: int = 1
+    norm_num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        num_frames: int,
+        attn1_qk_edit: Optional[QKEdit] = None,
+    ) -> jax.Array:
+        bf, h, w, c = hidden_states.shape
+        b = bf // num_frames
+        inner = self.heads * self.dim_head
+        residual = hidden_states
+        # 5D groupnorm: stats over (F, H, W, C/G) per batch element.
+        x = hidden_states.reshape(b, num_frames, h, w, c)
+        x = GroupNorm(self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        # [B, F, H, W, C] -> [B*H*W, F, C]
+        x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, num_frames, c)
+        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        for i in range(self.num_layers):
+            x = BasicTransformerBlock(
+                dim=inner, heads=self.heads, dim_head=self.dim_head,
+                double_self_attention=True,
+                dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(x, attn1_qk_edit=attn1_qk_edit if i == 0 else None)
+        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        x = x.reshape(b, h, w, num_frames, c).transpose(0, 3, 1, 2, 4).reshape(bf, h, w, c)
+        return x + residual
+
+
+class ResnetBlock2D(nn.Module):
+    """diffusers ResnetBlock2D (per-frame 2D), channels-last.
+
+    norm1 -> silu -> conv1 -> (+time_emb via Linear(silu(temb))) -> norm2 ->
+    silu -> conv2; shortcut 1x1 conv when channels change; optional
+    `pnp_edit` applied to the residual-branch output *before* the shortcut
+    add (exactly where the reference injects — pnp_utils.py:970-1004)."""
+
+    out_channels: int
+    eps: float = 1e-5
+    groups: int = 32
+    use_time_emb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        temb: Optional[jax.Array] = None,
+        pnp_edit: Optional[Callable[[jax.Array], jax.Array]] = None,
+    ) -> jax.Array:
+        in_c = x.shape[-1]
+        h = GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if pnp_edit is not None:
+            h = pnp_edit(h)
+        if in_c != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class TemporalConvLayer(nn.Module):
+    """diffusers TemporalConvLayer: four (GN -> silu -> conv3d[k=(3,1,1)])
+    stages with a residual connection; conv4 is zero-initialized so a fresh
+    layer is the identity.  Input/output [B*F, H, W, C]; optional `pnp_edit`
+    applied after the residual add (reference injects there —
+    pnp_utils.py:1042-1088)."""
+
+    in_dim: int
+    out_dim: Optional[int] = None
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        num_frames: int,
+        pnp_edit: Optional[Callable[[jax.Array], jax.Array]] = None,
+    ) -> jax.Array:
+        out_dim = self.out_dim or self.in_dim
+        bf, hh, ww, c = x.shape
+        b = bf // num_frames
+        x5 = x.reshape(b, num_frames, hh, ww, c)
+        identity = x5
+
+        def tconv(h, dim, name, zero_init=False):
+            h = GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype, name=f"{name}_norm")(h)
+            h = nn.silu(h)
+            init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+            return nn.Conv(
+                dim, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                kernel_init=init, dtype=self.dtype, name=f"{name}_conv",
+            )(h)
+
+        h = tconv(x5, out_dim, "conv1")
+        h = tconv(h, self.in_dim, "conv2")
+        h = tconv(h, self.in_dim, "conv3")
+        h = tconv(h, self.in_dim, "conv4", zero_init=True)
+        h = (identity + h).reshape(bf, hh, ww, c)
+        if pnp_edit is not None:
+            h = pnp_edit(h)
+        return h
+
+
+class Downsample2D(nn.Module):
+    """Strided 3x3 conv, torch padding=1 semantics."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=1,
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest-neighbor x2 (or to explicit `output_size`) + 3x3 conv.
+    `output_size` handles non-multiple-of-8 latents (e.g. 90x160 at 720p;
+    the reference forwards upsample_size the same way —
+    pipeline_i2vgen_xl.py:328-329)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, output_size: Optional[tuple[int, int]] = None) -> jax.Array:
+        bf, h, w, c = x.shape
+        target = output_size or (h * 2, w * 2)
+        # torch F.interpolate(nearest): out[i] = in[floor(i * h / H_out)]
+        ys = (jnp.arange(target[0]) * (h / target[0])).astype(jnp.int32)
+        xs = (jnp.arange(target[1]) * (w / target[1])).astype(jnp.int32)
+        x = x[:, ys][:, :, xs]
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)

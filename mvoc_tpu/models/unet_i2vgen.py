@@ -1,0 +1,527 @@
+"""TPU-native I2VGen-XL 3D UNet (flax.linen, channels-last).
+
+Re-implements the denoising UNet the reference drives through diffusers'
+`I2VGenXLUNet` plus its custom forward `I2VGenXLUnetExtension.forward`
+(reference: pipelines/pipeline_i2vgen_xl.py:103-362), including:
+
+* per-frame context assembly: 77 text tokens + 64 image-latent tokens + 4
+  CLIP-image tokens = 145-token cross-attention context per frame
+  (reference: pipeline_i2vgen_xl.py:204-261),
+* `image_latents_first` -> proj_in -> temporal encoder -> channel concat
+  conditioning (reference: pipeline_i2vgen_xl.py:264-282),
+* time + fps micro-conditioning embeddings, summed then repeated per frame
+  (reference: pipeline_i2vgen_xl.py:182-197),
+* `multi_frame_guidance`: per-frame CLIP image embeddings / image-latent
+  tokens instead of broadcasting frame 0 (reference:
+  pipeline_i2vgen_xl.py:150-151, 211-212),
+* functional PnP injection sites (spatial/temporal attention Q/K in
+  up_blocks {1:[1,2],2:[0,1,2],3:[0,1,2]}, resnet / temp-conv / out-conv
+  activations in up_blocks[3]; see mvoc_tpu/pnp.py).
+
+Architecture facts (diffusers I2VGenXLUNet as loaded from the HF
+checkpoint, reference: pipeline_i2vgen_xl.py:420-443 and SURVEY.md §2.2):
+block_out_channels (320, 640, 1280, 1280), layers_per_block 2, 4 down / 4 up
+blocks (3 cross-attn down + plain down; plain up + 3 cross-attn up),
+cross_attention_dim 1024, attention head dim 64 (heads = channels // 64),
+8-head transformer_in, GroupNorm(32).
+
+Everything is shape-static and jit/scan-friendly; sampling loops compile to
+a single `lax.scan` (see pipeline/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mvoc_tpu import pnp as pnp_lib
+from mvoc_tpu.models.layers import (
+    Attention,
+    BasicTransformerBlock,
+    Downsample2D,
+    FeedForward,
+    GroupNorm,
+    LayerNorm,
+    ResnetBlock2D,
+    TemporalConvLayer,
+    TimestepEmbedding,
+    Transformer2DModel,
+    TransformerTemporalModel,
+    Upsample2D,
+    timestep_embedding,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    cross_attention_dim: int = 1024
+    attention_head_dim: int = 64  # heads = block_channels // this
+    transformer_in_heads: int = 8
+    # image_latents_temporal_encoder attention geometry (diffusers
+    # I2VGenXLTransformerTemporalEncoder(dim=in_ch, heads=2, head_dim=in_ch))
+    img_temporal_encoder_heads: int = 2
+    norm_eps: float = 1e-5
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    def heads_for(self, channels: int) -> int:
+        assert channels % self.attention_head_dim == 0
+        return channels // self.attention_head_dim
+
+    @staticmethod
+    def from_diffusers_config(cfg: dict[str, Any]) -> "UNetConfig":
+        return UNetConfig(
+            in_channels=cfg.get("in_channels", 4),
+            out_channels=cfg.get("out_channels", 4),
+            block_out_channels=tuple(cfg.get("block_out_channels", (320, 640, 1280, 1280))),
+            layers_per_block=cfg.get("layers_per_block", 2),
+            norm_num_groups=cfg.get("norm_num_groups", 32),
+            cross_attention_dim=cfg.get("cross_attention_dim", 1024),
+            attention_head_dim=cfg.get("attention_head_dim", 64),
+        )
+
+    @staticmethod
+    def from_pretrained(checkpoint_dir: str) -> "UNetConfig":
+        with open(os.path.join(checkpoint_dir, "unet", "config.json")) as f:
+            return UNetConfig.from_diffusers_config(json.load(f))
+
+    @staticmethod
+    def tiny() -> "UNetConfig":
+        """Small config for tests/CI — no 5 GB checkpoint needed (SURVEY.md §7.8)."""
+        return UNetConfig(
+            block_out_channels=(8, 16, 32, 32),
+            norm_num_groups=4,
+            cross_attention_dim=16,
+            attention_head_dim=4,
+            transformer_in_heads=2,
+        )
+
+
+def _adaptive_avg_pool2d(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """torch.nn.AdaptiveAvgPool2d semantics, channels-last [B, H, W, C].
+
+    Bin i spans [floor(i*H/out), ceil((i+1)*H/out)); implemented with an
+    integral image so it vectorizes (no per-cell slicing)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+
+    def pool_axis(arr, size, out_size, axis):
+        starts = (jnp.arange(out_size) * size) // out_size
+        ends = -((-(jnp.arange(out_size) + 1) * size) // out_size)  # ceil
+        csum = jnp.cumsum(arr, axis=axis)
+        csum = jnp.concatenate([jnp.zeros_like(jax.lax.slice_in_dim(csum, 0, 1, axis=axis)), csum], axis=axis)
+        hi = jnp.take(csum, ends, axis=axis)
+        lo = jnp.take(csum, starts, axis=axis)
+        return (hi - lo) / (ends - starts).reshape((-1,) + (1,) * (arr.ndim - axis - 1))
+
+    x = pool_axis(x.astype(jnp.float32), h, oh, axis=1)
+    x = pool_axis(x, w, ow, axis=2)
+    return x
+
+
+class DownBlock3D(nn.Module):
+    """resnets + temp_convs xN, optional downsampler.  Returns
+    (hidden, res_samples) like diffusers unet_3d_blocks.DownBlock3D."""
+
+    out_channels: int
+    num_layers: int
+    add_downsample: bool
+    norm_num_groups: int
+    norm_eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, num_frames):
+        res_samples = []
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(
+                self.out_channels, eps=self.norm_eps, groups=self.norm_num_groups,
+                dtype=self.dtype, name=f"resnets_{i}",
+            )(x, temb)
+            x = TemporalConvLayer(
+                self.out_channels, groups=self.norm_num_groups,
+                dtype=self.dtype, name=f"temp_convs_{i}",
+            )(x, num_frames)
+            res_samples.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            res_samples.append(x)
+        return x, res_samples
+
+
+class CrossAttnDownBlock3D(nn.Module):
+    out_channels: int
+    num_layers: int
+    add_downsample: bool
+    heads: int
+    dim_head: int
+    cross_attention_dim: int
+    norm_num_groups: int
+    norm_eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context, num_frames):
+        res_samples = []
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(
+                self.out_channels, eps=self.norm_eps, groups=self.norm_num_groups,
+                dtype=self.dtype, name=f"resnets_{i}",
+            )(x, temb)
+            x = TemporalConvLayer(
+                self.out_channels, groups=self.norm_num_groups,
+                dtype=self.dtype, name=f"temp_convs_{i}",
+            )(x, num_frames)
+            x = Transformer2DModel(
+                self.out_channels, self.heads, self.dim_head, self.cross_attention_dim,
+                norm_num_groups=self.norm_num_groups, dtype=self.dtype, name=f"attentions_{i}",
+            )(x, context)
+            x = TransformerTemporalModel(
+                self.out_channels, self.heads, self.dim_head,
+                norm_num_groups=self.norm_num_groups, dtype=self.dtype, name=f"temp_attentions_{i}",
+            )(x, num_frames)
+            res_samples.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            res_samples.append(x)
+        return x, res_samples
+
+
+class UNetMidBlock3DCrossAttn(nn.Module):
+    channels: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: int
+    norm_num_groups: int
+    norm_eps: float
+    num_layers: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context, num_frames):
+        x = ResnetBlock2D(
+            self.channels, eps=self.norm_eps, groups=self.norm_num_groups,
+            dtype=self.dtype, name="resnets_0",
+        )(x, temb)
+        x = TemporalConvLayer(
+            self.channels, groups=self.norm_num_groups, dtype=self.dtype, name="temp_convs_0",
+        )(x, num_frames)
+        for i in range(self.num_layers):
+            x = Transformer2DModel(
+                self.channels, self.heads, self.dim_head, self.cross_attention_dim,
+                norm_num_groups=self.norm_num_groups, dtype=self.dtype, name=f"attentions_{i}",
+            )(x, context)
+            x = TransformerTemporalModel(
+                self.channels, self.heads, self.dim_head,
+                norm_num_groups=self.norm_num_groups, dtype=self.dtype, name=f"temp_attentions_{i}",
+            )(x, num_frames)
+            x = ResnetBlock2D(
+                self.channels, eps=self.norm_eps, groups=self.norm_num_groups,
+                dtype=self.dtype, name=f"resnets_{i + 1}",
+            )(x, temb)
+            x = TemporalConvLayer(
+                self.channels, groups=self.norm_num_groups,
+                dtype=self.dtype, name=f"temp_convs_{i + 1}",
+            )(x, num_frames)
+        return x
+
+
+def _spatial_qk_edit(pnp, h, w):
+    if pnp is None:
+        return None
+    return lambda q, k: pnp_lib.inject_spatial_qk(q, k, pnp, h, w)
+
+
+def _temporal_qk_edit(pnp, h, w):
+    if pnp is None:
+        return None
+    return lambda q, k: pnp_lib.inject_temporal_qk(q, k, pnp, h, w)
+
+
+def _conv_edit(pnp, h, w):
+    if pnp is None:
+        return None
+    return lambda x: pnp_lib.inject_conv_features(x, pnp, h, w)
+
+
+class UpBlock3D(nn.Module):
+    out_channels: int
+    num_layers: int
+    add_upsample: bool
+    norm_num_groups: int
+    norm_eps: float
+    block_index: int = 0  # position in up_blocks, for PnP site lookup
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_samples, temb, num_frames, upsample_size=None, pnp=None):
+        resnet_sites = pnp_lib.RESNET_SITES.get(self.block_index, ())
+        tconv_sites = pnp_lib.TEMP_CONV_SITES.get(self.block_index, ())
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, res_samples[-1 - i]], axis=-1)
+            hcur, wcur = x.shape[1], x.shape[2]
+            x = ResnetBlock2D(
+                self.out_channels, eps=self.norm_eps, groups=self.norm_num_groups,
+                dtype=self.dtype, name=f"resnets_{i}",
+            )(x, temb, pnp_edit=_conv_edit(pnp, hcur, wcur) if i in resnet_sites else None)
+            x = TemporalConvLayer(
+                self.out_channels, groups=self.norm_num_groups,
+                dtype=self.dtype, name=f"temp_convs_{i}",
+            )(x, num_frames, pnp_edit=_conv_edit(pnp, hcur, wcur) if i in tconv_sites else None)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x, upsample_size)
+        return x
+
+
+class CrossAttnUpBlock3D(nn.Module):
+    out_channels: int
+    num_layers: int
+    add_upsample: bool
+    heads: int
+    dim_head: int
+    cross_attention_dim: int
+    norm_num_groups: int
+    norm_eps: float
+    block_index: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_samples, temb, context, num_frames, upsample_size=None, pnp=None):
+        spatial_sites = pnp_lib.SPATIAL_ATTN_SITES.get(self.block_index, ())
+        temporal_sites = pnp_lib.TEMPORAL_ATTN_SITES.get(self.block_index, ())
+        resnet_sites = pnp_lib.RESNET_SITES.get(self.block_index, ())
+        tconv_sites = pnp_lib.TEMP_CONV_SITES.get(self.block_index, ())
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, res_samples[-1 - i]], axis=-1)
+            hcur, wcur = x.shape[1], x.shape[2]
+            x = ResnetBlock2D(
+                self.out_channels, eps=self.norm_eps, groups=self.norm_num_groups,
+                dtype=self.dtype, name=f"resnets_{i}",
+            )(x, temb, pnp_edit=_conv_edit(pnp, hcur, wcur) if i in resnet_sites else None)
+            x = TemporalConvLayer(
+                self.out_channels, groups=self.norm_num_groups,
+                dtype=self.dtype, name=f"temp_convs_{i}",
+            )(x, num_frames, pnp_edit=_conv_edit(pnp, hcur, wcur) if i in tconv_sites else None)
+            x = Transformer2DModel(
+                self.out_channels, self.heads, self.dim_head, self.cross_attention_dim,
+                norm_num_groups=self.norm_num_groups, dtype=self.dtype, name=f"attentions_{i}",
+            )(x, context,
+              attn1_qk_edit=_spatial_qk_edit(pnp, hcur, wcur) if i in spatial_sites else None)
+            x = TransformerTemporalModel(
+                self.out_channels, self.heads, self.dim_head,
+                norm_num_groups=self.norm_num_groups, dtype=self.dtype, name=f"temp_attentions_{i}",
+            )(x, num_frames,
+              attn1_qk_edit=_temporal_qk_edit(pnp, hcur, wcur) if i in temporal_sites else None)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x, upsample_size)
+        return x
+
+
+class ImageLatentsTemporalEncoder(nn.Module):
+    """diffusers I2VGenXLTransformerTemporalEncoder: LN -> self-attn ->
+    +residual -> FF(gelu) -> +residual, over [B*H*W, F, C=in_channels]."""
+
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = Attention(
+            query_dim=self.dim, heads=self.heads, dim_head=self.dim,
+            dtype=self.dtype, name="attn1",
+        )(h)
+        x = h + x
+        h = FeedForward(
+            dim=self.dim, inner_dim=self.dim * 4, activation="gelu",
+            dtype=self.dtype, name="ff",
+        )(x)
+        return h + x
+
+
+class I2VGenXLUNet(nn.Module):
+    """Forward signature mirrors the reference's extension forward
+    (pipeline_i2vgen_xl.py:109-122) with channels-last tensors:
+
+    sample:              [B, F, H, W, C_in]  noisy latents
+    timestep:            scalar or [B] int
+    fps:                 scalar or [B] int
+    image_latents_first: [B, F, H, W, C_in]  first-frame VAE latents tiled
+                         (temporal-encoder conditioning path)
+    image_latents:       [B, F, H, W, C_in]  per-frame VAE latents (context
+                         tokens; only frame 0 used unless multi_frame_guidance)
+    image_embeddings:    [B, F, D_img]  per-frame CLIP image embeddings
+    encoder_hidden_states: [B, 77, D_ctx] text embeddings
+    pnp:                 optional PnPState (see mvoc_tpu/pnp.py)
+    returns              [B, F, H, W, C_out] predicted noise
+    """
+
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jax.Array,
+        timestep: jax.Array,
+        fps: jax.Array,
+        image_latents_first: jax.Array,
+        image_latents: jax.Array,
+        image_embeddings: jax.Array,
+        encoder_hidden_states: jax.Array,
+        pnp: Optional[pnp_lib.PnPState] = None,
+        multi_frame_guidance: bool = False,
+    ) -> jax.Array:
+        cfg = self.config
+        b, f, h, w, c_in = sample.shape
+        ch0 = cfg.block_out_channels[0]
+
+        # 1-3. time + fps embeddings (pipeline_i2vgen_xl.py:166-197)
+        timestep = jnp.broadcast_to(jnp.atleast_1d(timestep), (b,))
+        fps = jnp.broadcast_to(jnp.atleast_1d(fps), (b,))
+        t_emb = timestep_embedding(timestep, ch0).astype(self.dtype)
+        t_emb = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype, name="time_embedding")(t_emb)
+        fps_emb = timestep_embedding(fps, ch0).astype(self.dtype)
+        fps_emb = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype, name="fps_embedding")(fps_emb)
+        emb = t_emb + fps_emb
+        emb = jnp.repeat(emb, f, axis=0)  # [B*F, emb]
+
+        # 4. context embeddings: per frame [text 77 | image-latent 64 | image 4]
+        # (pipeline_i2vgen_xl.py:199-261)
+        if not multi_frame_guidance:
+            image_embeddings = jnp.broadcast_to(
+                image_embeddings[:, 0:1], (b, f, image_embeddings.shape[-1])
+            )
+        # image-latent context tokens from conv tower + adaptive pool
+        n_ctx_frames = f if multi_frame_guidance else 1
+        il = image_latents[:, :n_ctx_frames].reshape((b * n_ctx_frames, h, w, c_in))
+        il = nn.Conv(c_in * 8, (3, 3), padding=1, dtype=self.dtype,
+                     name="image_latents_context_embedding_0")(il)
+        il = nn.silu(il)
+        il = _adaptive_avg_pool2d(il, (32, 32)).astype(self.dtype)
+        il = nn.Conv(c_in * 16, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                     name="image_latents_context_embedding_2")(il)
+        il = nn.silu(il)
+        il = nn.Conv(cfg.cross_attention_dim, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                     name="image_latents_context_embedding_4")(il)
+        n_img_tokens = il.shape[1] * il.shape[2]
+        il_tokens = il.reshape(b, n_ctx_frames, n_img_tokens, cfg.cross_attention_dim)
+        il_tokens = jnp.broadcast_to(
+            il_tokens, (b, f, n_img_tokens, cfg.cross_attention_dim)
+        ) if n_ctx_frames == 1 else il_tokens
+
+        # CLIP image embedding -> 4 pseudo-tokens (context_embedding MLP)
+        ie = nn.Dense(cfg.time_embed_dim, dtype=self.dtype, name="context_embedding_0")(image_embeddings)
+        ie = nn.silu(ie)
+        ie = nn.Dense(cfg.cross_attention_dim * c_in, dtype=self.dtype, name="context_embedding_2")(ie)
+        ie_tokens = ie.reshape(b, f, c_in, cfg.cross_attention_dim)
+
+        text = jnp.broadcast_to(
+            encoder_hidden_states[:, None],
+            (b, f) + encoder_hidden_states.shape[1:],
+        )
+        context = jnp.concatenate([text, il_tokens, ie_tokens], axis=2)
+        context = context.reshape(b * f, -1, cfg.cross_attention_dim).astype(self.dtype)
+
+        # image_latents_first -> proj_in convs -> temporal encoder
+        # (pipeline_i2vgen_xl.py:264-282)
+        ilf = image_latents_first.reshape(b * f, h, w, c_in)
+        ilf = nn.Conv(c_in * 4, (1, 1), dtype=self.dtype, name="image_latents_proj_in_0")(ilf)
+        ilf = nn.silu(ilf)
+        ilf = nn.Conv(c_in * 4, (3, 3), padding=1, dtype=self.dtype, name="image_latents_proj_in_2")(ilf)
+        ilf = nn.silu(ilf)
+        ilf = nn.Conv(c_in, (3, 3), padding=1, dtype=self.dtype, name="image_latents_proj_in_4")(ilf)
+        ilf = ilf.reshape(b, f, h, w, c_in).transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c_in)
+        ilf = ImageLatentsTemporalEncoder(
+            dim=c_in, heads=cfg.img_temporal_encoder_heads, dtype=self.dtype,
+            name="image_latents_temporal_encoder",
+        )(ilf)
+        ilf = ilf.reshape(b, h, w, f, c_in).transpose(0, 3, 1, 2, 4).reshape(b * f, h, w, c_in)
+
+        # 5. pre-process: channel concat + conv_in + transformer_in
+        x = sample.reshape(b * f, h, w, c_in).astype(self.dtype)
+        x = jnp.concatenate([x, ilf], axis=-1)
+        x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        x = TransformerTemporalModel(
+            ch0, cfg.transformer_in_heads, cfg.attention_head_dim,
+            norm_num_groups=cfg.norm_num_groups, dtype=self.dtype, name="transformer_in",
+        )(x, f)
+
+        # 6. down blocks
+        n_blocks = len(cfg.block_out_channels)
+        res_stack = [x]
+        for i in range(n_blocks):
+            out_ch = cfg.block_out_channels[i]
+            is_final = i == n_blocks - 1
+            if not is_final:  # CrossAttnDownBlock3D
+                x, res = CrossAttnDownBlock3D(
+                    out_channels=out_ch, num_layers=cfg.layers_per_block,
+                    add_downsample=True, heads=cfg.heads_for(out_ch),
+                    dim_head=cfg.attention_head_dim,
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
+                    dtype=self.dtype, name=f"down_blocks_{i}",
+                )(x, emb, context, f)
+            else:  # DownBlock3D
+                x, res = DownBlock3D(
+                    out_channels=out_ch, num_layers=cfg.layers_per_block,
+                    add_downsample=False, norm_num_groups=cfg.norm_num_groups,
+                    norm_eps=cfg.norm_eps, dtype=self.dtype, name=f"down_blocks_{i}",
+                )(x, emb, f)
+            res_stack.extend(res)
+
+        # 7. mid block
+        x = UNetMidBlock3DCrossAttn(
+            channels=cfg.block_out_channels[-1],
+            heads=cfg.heads_for(cfg.block_out_channels[-1]),
+            dim_head=cfg.attention_head_dim,
+            cross_attention_dim=cfg.cross_attention_dim,
+            norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
+            dtype=self.dtype, name="mid_block",
+        )(x, emb, context, f)
+
+        # 8. up blocks (3 resnets each)
+        rev = tuple(reversed(cfg.block_out_channels))
+        n_up_layers = cfg.layers_per_block + 1
+        for i in range(n_blocks):
+            out_ch = rev[i]
+            is_final = i == n_blocks - 1
+            res = res_stack[-n_up_layers:]
+            res_stack = res_stack[:-n_up_layers]
+            upsample_size = res_stack[-1].shape[1:3] if (not is_final and res_stack) else None
+            if i == 0:  # UpBlock3D
+                x = UpBlock3D(
+                    out_channels=out_ch, num_layers=n_up_layers, add_upsample=not is_final,
+                    norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
+                    block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
+                )(x, res, emb, f, upsample_size, pnp)
+            else:  # CrossAttnUpBlock3D
+                x = CrossAttnUpBlock3D(
+                    out_channels=out_ch, num_layers=n_up_layers, add_upsample=not is_final,
+                    heads=cfg.heads_for(out_ch), dim_head=cfg.attention_head_dim,
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
+                    block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
+                )(x, res, emb, context, f, upsample_size, pnp)
+
+        # 9. post-process (+ out-conv PnP injection, pnp_utils.py:1108-1159)
+        x = GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=self.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+        if pnp is not None:
+            x = pnp_lib.inject_conv_features(x, pnp, x.shape[1], x.shape[2])
+        return x.reshape(b, f, h, w, cfg.out_channels)

@@ -1,0 +1,227 @@
+"""Functional plug-and-play (PnP) feature injection for multi-video composition.
+
+The reference implements feature injection by monkey-patching diffusers module
+forwards and setattr-ing mutable per-step state (`t`, `mask`,
+`injection_schedule`) on 28 modules (reference: pnp_utils.py:48-167, 563-1159,
+composite.py:38-69).  Under `jit` that is impossible and unnecessary: here the
+UNet forward takes an explicit, trace-stable `PnPState` pytree and every
+injection site is a pure `jnp.where(gate, composite, original)`.
+
+Semantics replicated exactly from the reference:
+
+* Branch layout: the UNet batch is ``[bg, obj_1..obj_N, uncond, cond]`` —
+  N+3 chunks (reference: pipeline_i2vgen_xl.py:1675-1677; chunk_size =
+  batch//5 for N=2 at pnp_utils.py:592, 747, 972, 1061, 1115).
+* Attention sites inject **Q and K only** (V is computed but never written —
+  pnp_utils.py:661-668, 811-823); conv sites inject full activations.
+* Composite: ``base = base*(1-mask_j) + obj_j*mask_j`` looped j=1..N, so a
+  *later* object wins overlaps (pnp_utils.py:643-662).  The result is written
+  into BOTH the uncond and cond chunks (pnp_utils.py:664-668).
+* ``inject_background`` selects the base: bg chunk if True else the cond
+  chunk (pnp_utils.py:633-641, 786-794).  Conv-type sites always use bg
+  (pnp_utils.py:974, 1063, 1117).
+* Gate: inject when ``t ∈ schedule or t == 1000`` (pnp_utils.py:624, 778,
+  970, 1059, 1114).
+* Masks are nearest-resized to each attention resolution
+  (pnp_utils.py:650, 807); conv sites run at full latent resolution and use
+  the mask as-is.  We precompute the whole pyramid once instead of
+  re-interpolating inside every call.
+
+Site placement (reference: pnp_utils.py:706-715, 889-897, 1031-1037,
+1099-1105, 1156-1159):
+
+* spatial attn1 Q/K: up_blocks res_dict {1:[1,2], 2:[0,1,2], 3:[0,1,2]}
+* temporal attn1 Q/K: same res_dict, temp_attentions
+* resnet hidden states (pre-shortcut-add): up_blocks[3].resnets[0..2]
+* temporal conv output (post-residual): up_blocks[3].temp_convs[0..2]
+* conv_out output: unet.conv_out
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Static description of which up_block indices / sub-layer indices inject.
+SPATIAL_ATTN_SITES = {1: (1, 2), 2: (0, 1, 2), 3: (0, 1, 2)}
+TEMPORAL_ATTN_SITES = {1: (1, 2), 2: (0, 1, 2), 3: (0, 1, 2)}
+RESNET_SITES = {3: (0, 1, 2)}
+TEMP_CONV_SITES = {3: (0, 1, 2)}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PnPState:
+    """Per-step injection state threaded through the UNet forward.
+
+    All fields are traced arrays so a `lax.scan` over denoising steps keeps a
+    single compiled UNet.  Static branch count lives in the shapes.
+
+    masks: dict keyed by (h, w) static latent resolutions → float arrays of
+        shape [N, F, h, w] (object, frame, y, x) with values in {0, 1}.
+    gate_spatial / gate_temporal / gate_conv: boolean scalars — precomputed
+        outside as `(t ∈ schedule) | (t == 1000)` for the current step.
+    inject_background: static python bool (affects attention sites only).
+    """
+
+    masks: Dict[Tuple[int, int], jax.Array]
+    gate_spatial: jax.Array
+    gate_temporal: jax.Array
+    gate_conv: jax.Array
+    inject_background: bool = dataclasses.field(metadata=dict(static=True), default=True)
+
+    @property
+    def num_objects(self) -> int:
+        return next(iter(self.masks.values())).shape[0]
+
+    @property
+    def num_branches(self) -> int:
+        return self.num_objects + 3
+
+    def mask_at(self, h: int, w: int) -> jax.Array:
+        try:
+            return self.masks[(h, w)]
+        except KeyError:
+            raise KeyError(
+                f"no precomputed mask at resolution {(h, w)}; have {sorted(self.masks)}"
+            ) from None
+
+
+def build_mask_pyramid(
+    masks: np.ndarray, resolutions: list[tuple[int, int]]
+) -> Dict[Tuple[int, int], np.ndarray]:
+    """Nearest-resize per-object/frame masks to every injection resolution.
+
+    masks: [N, F, H, W] float binary masks at full latent resolution.
+    Matches torch.nn.functional.interpolate(mode='nearest') exactly
+    (reference: pnp_utils.py:650, 807): output pixel (i, j) samples input
+    pixel (floor(i*H/h), floor(j*W/w)).
+    """
+    n, f, H, W = masks.shape
+    out: Dict[Tuple[int, int], np.ndarray] = {}
+    for (h, w) in resolutions:
+        if (h, w) == (H, W):
+            out[(h, w)] = masks.astype(np.float32)
+            continue
+        ys = (np.arange(h) * (H / h)).astype(np.int64)
+        xs = (np.arange(w) * (W / w)).astype(np.int64)
+        out[(h, w)] = masks[:, :, ys][:, :, :, xs].astype(np.float32)
+    return out
+
+
+def _composite(base: jax.Array, objs: jax.Array, masks: jax.Array) -> jax.Array:
+    """base, objs[j]: [...]; masks: [N, ...] broadcastable; later object wins."""
+    n = objs.shape[0]
+    for j in range(n):
+        m = masks[j]
+        base = base * (1.0 - m) + objs[j] * m
+    return base
+
+
+def _inject_chunks(x: jax.Array, injected: jax.Array, n_obj: int) -> jax.Array:
+    """Overwrite the uncond + cond chunks (last two) with `injected`."""
+    return jnp.concatenate([x[: n_obj + 1], injected, injected], axis=0)
+
+
+def inject_spatial_qk(
+    q: jax.Array, k: jax.Array, pnp: PnPState, h: int, w: int
+) -> tuple[jax.Array, jax.Array]:
+    """Spatial-attention Q/K injection (reference: pnp_utils.py:624-672).
+
+    q, k: [B*F, h*w, C] with B = N+3 branches.
+    """
+    n = pnp.num_objects
+    B = pnp.num_branches
+    bf, hw, c = q.shape
+    f = bf // B
+    mask = pnp.mask_at(h, w).reshape(n, 1, f, hw, 1)  # [N,1,F,hw,1]
+
+    def edit(x):
+        xb = x.reshape(B, f, hw, c)
+        base = xb[0:1] if pnp.inject_background else xb[B - 1 :]
+        inj = _composite(base, xb[1 : n + 1][:, None], mask)
+        return _inject_chunks(xb, inj, n).reshape(bf, hw, c)
+
+    gate = pnp.gate_spatial
+    return jnp.where(gate, edit(q), q), jnp.where(gate, edit(k), k)
+
+
+def inject_temporal_qk(
+    q: jax.Array, k: jax.Array, pnp: PnPState, h: int, w: int
+) -> tuple[jax.Array, jax.Array]:
+    """Temporal-attention Q/K injection (reference: pnp_utils.py:778-850).
+
+    q, k: [B*h*w, F, C] with B = N+3 branches (row-major: branch, then pixel).
+    The reference's mask here is the first frame's mask broadcast over frames
+    (mask[j][0] squeezed; pnp_utils.py:805-809 ends up with frame-batched
+    [F,h,w] masks rearranged to pixel rows) — per-pixel, per-frame gating.
+    """
+    n = pnp.num_objects
+    B = pnp.num_branches
+    bhw, f, c = q.shape
+    hw = bhw // B
+    # [N, F, h, w] -> [N, 1, hw, F, 1]: pixel rows gate rows, frame gates cols.
+    mask = pnp.mask_at(h, w).transpose(0, 2, 3, 1).reshape(n, 1, hw, f, 1)
+
+    def edit(x):
+        xb = x.reshape(B, hw, f, c)
+        base = xb[0:1] if pnp.inject_background else xb[B - 1 :]
+        inj = _composite(base, xb[1 : n + 1][:, None], mask)
+        return _inject_chunks(xb, inj, n).reshape(bhw, f, c)
+
+    gate = pnp.gate_temporal
+    return jnp.where(gate, edit(q), q), jnp.where(gate, edit(k), k)
+
+
+def inject_conv_features(x: jax.Array, pnp: PnPState, h: int, w: int) -> jax.Array:
+    """Conv-site activation injection (reference: pnp_utils.py:970-1004,
+    1059-1082, 1114-1146).  Base is ALWAYS the bg chunk.
+
+    x: [B*F, h, w, C] channels-last activations.
+    """
+    n = pnp.num_objects
+    B = pnp.num_branches
+    bf, hh, ww, c = x.shape
+    f = bf // B
+    mask = pnp.mask_at(h, w).reshape(n, 1, f, hh, ww, 1)
+
+    xb = x.reshape(B, f, hh, ww, c)
+    inj = _composite(xb[0:1], xb[1 : n + 1][:, None], mask)
+    edited = _inject_chunks(xb, inj, n).reshape(bf, hh, ww, c)
+    return jnp.where(pnp.gate_conv, edited, x)
+
+
+def injection_gates(
+    full_timesteps: np.ndarray,
+    run_timesteps: np.ndarray,
+    n_steps: int,
+    pnp_f_t: float,
+    pnp_spatial_attn_t: float,
+    pnp_temp_attn_t: float,
+) -> dict[str, np.ndarray]:
+    """Per-step boolean gate arrays, indexable inside `lax.scan`.
+
+    Reference schedule computation (composite.py:39-52): the injection
+    timesteps are the first ``int(n_steps * fraction)`` entries of the *full*
+    descending timestep list; a step injects iff its t is among them (or
+    t == 1000, pnp_utils.py:624).  The sampler may iterate a truncated list
+    (`ddim_init_latents_t_idx`, pipeline_i2vgen_xl.py:1554) — gates returned
+    here line up element-wise with `run_timesteps`.
+    """
+    full_timesteps = np.asarray(full_timesteps)
+    run_timesteps = np.asarray(run_timesteps)
+    out = {}
+    for name, frac in (
+        ("conv", pnp_f_t),
+        ("spatial", pnp_spatial_attn_t),
+        ("temporal", pnp_temp_attn_t),
+    ):
+        sched = {int(t) for t in full_timesteps[: int(n_steps * frac)]}
+        out[name] = np.asarray(
+            [int(t) in sched or int(t) == 1000 for t in run_timesteps], dtype=bool
+        )
+    return out

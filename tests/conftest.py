@@ -3,19 +3,32 @@
 Real TPU hardware (single chip) is exercised by bench.py / __graft_entry__.py;
 tests validate numerics and sharding logic on host CPU with 8 virtual devices
 so multi-chip pjit paths compile and execute under CI.
+
+NOTE: this image preimports jax at interpreter startup with
+JAX_PLATFORMS=axon (remote TPU tunnel), so env vars set here are too late —
+we must go through jax.config.  Backends initialize lazily, so flipping the
+config before any device use still works.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA_FLAGS is read by the CPU client at backend-init time (lazy), so this
+# still takes effect as long as no jax computation ran yet.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # single-core CI box: multi-threaded eigen across 8 virtual devices
+    # thrashes; force single-threaded kernels.
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8 --xla_cpu_multi_thread_eigen=false"
+    ).strip()
 
-import jax  # noqa: E402
+import jax  # noqa: E402 (may already be preimported — that's fine)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on host CPU"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

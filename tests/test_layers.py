@@ -1,0 +1,136 @@
+"""Layer semantics vs torch ground truth (torch CPU is available in CI).
+
+These pin the numerical semantics that matter for checkpoint fidelity:
+GroupNorm reduction axes (4D per-frame and 5D joint-temporal), LayerNorm,
+exact-gelu GEGLU, scaled-dot-product attention, nearest interpolation, and
+torch AdaptiveAvgPool2d bin edges.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from mvoc_tpu.models import layers
+
+
+def test_groupnorm_4d_matches_torch(rng):
+    x = rng.standard_normal((6, 5, 7, 16), dtype=np.float32)  # [BF,H,W,C]
+    gn = layers.GroupNorm(num_groups=4, epsilon=1e-5)
+    params = gn.init(jax.random.key(0), jnp.asarray(x))
+    scale = rng.standard_normal(16).astype(np.float32)
+    bias = rng.standard_normal(16).astype(np.float32)
+    params = {"params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}}
+    out = gn.apply(params, jnp.asarray(x))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+    ref = F.group_norm(xt, 4, torch.from_numpy(scale), torch.from_numpy(bias), 1e-5)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_groupnorm_5d_matches_torch(rng):
+    """The temporal transformer normalizes the joint [B,C,F,H,W] tensor —
+    statistics span frames too (see TransformerTemporalModel)."""
+    x = rng.standard_normal((2, 4, 5, 7, 16), dtype=np.float32)  # [B,F,H,W,C]
+    gn = layers.GroupNorm(num_groups=4, epsilon=1e-6)
+    params = {"params": {"scale": jnp.ones(16), "bias": jnp.zeros(16)}}
+    out = gn.apply(params, jnp.asarray(x))
+
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)  # [B,C,F,H,W]
+    ref = F.group_norm(xt, 4, torch.ones(16), torch.zeros(16), 1e-6)
+    ref = ref.permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_layernorm_matches_torch(rng):
+    x = rng.standard_normal((3, 11, 32), dtype=np.float32)
+    ln = layers.LayerNorm()
+    scale = rng.standard_normal(32).astype(np.float32)
+    bias = rng.standard_normal(32).astype(np.float32)
+    params = {"params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}}
+    out = ln.apply(params, jnp.asarray(x))
+    ref = F.layer_norm(torch.from_numpy(x), (32,), torch.from_numpy(scale),
+                       torch.from_numpy(bias), 1e-5).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_sdpa_matches_torch(rng):
+    q = rng.standard_normal((2, 9, 24), dtype=np.float32)
+    k = rng.standard_normal((2, 13, 24), dtype=np.float32)
+    v = rng.standard_normal((2, 13, 24), dtype=np.float32)
+    out = layers.sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads=4)
+
+    def split(x):
+        b, s, c = x.shape
+        return torch.from_numpy(x).reshape(b, s, 4, c // 4).transpose(1, 2)
+
+    ref = F.scaled_dot_product_attention(split(q), split(k), split(v))
+    ref = ref.transpose(1, 2).reshape(2, 9, 24).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_geglu_exact_gelu(rng):
+    x = rng.standard_normal((2, 3, 8), dtype=np.float32)
+    ff = layers.FeedForward(dim=8)
+    params = ff.init(jax.random.key(0), jnp.asarray(x))
+    out = ff.apply(params, jnp.asarray(x))
+    # torch reference with the same weights
+    w0 = np.asarray(params["params"]["net_0_proj"]["kernel"])
+    b0 = np.asarray(params["params"]["net_0_proj"]["bias"])
+    w2 = np.asarray(params["params"]["net_2"]["kernel"])
+    b2 = np.asarray(params["params"]["net_2"]["bias"])
+    h = torch.from_numpy(x) @ torch.from_numpy(w0) + torch.from_numpy(b0)
+    a, gate = h.chunk(2, dim=-1)
+    h = a * F.gelu(gate, approximate="none")
+    ref = (h @ torch.from_numpy(w2) + torch.from_numpy(b2)).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_upsample_nearest_matches_torch(rng):
+    """Covers both exact x2 and the odd-size path (12 -> 23)."""
+    from mvoc_tpu.models.unet_i2vgen import _adaptive_avg_pool2d  # noqa: F401
+
+    x = rng.standard_normal((1, 12, 20, 3), dtype=np.float32)
+    for target in [(24, 40), (23, 45)]:
+        ys = (np.arange(target[0]) * (12 / target[0])).astype(np.int64)
+        xs = (np.arange(target[1]) * (20 / target[1])).astype(np.int64)
+        ours = x[:, ys][:, :, xs]
+        ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=target, mode="nearest")
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref)
+
+
+def test_adaptive_avg_pool_matches_torch(rng):
+    from mvoc_tpu.models.unet_i2vgen import _adaptive_avg_pool2d
+
+    for h, w in [(90, 160), (8, 8), (33, 47)]:
+        x = rng.standard_normal((2, h, w, 5), dtype=np.float32)
+        out = _adaptive_avg_pool2d(jnp.asarray(x), (32, 32))
+        ref = F.adaptive_avg_pool2d(torch.from_numpy(x).permute(0, 3, 1, 2), (32, 32))
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_temporal_conv_is_identity_at_init(rng):
+    """conv4 is zero-initialized, so a freshly initialized TemporalConvLayer
+    must be the identity (diffusers zero-inits the same way)."""
+    x = rng.standard_normal((8, 6, 6, 16), dtype=np.float32)  # [B*F,H,W,C], F=4
+    layer = layers.TemporalConvLayer(in_dim=16, groups=4)
+    params = layer.init(jax.random.key(0), jnp.asarray(x), 4)
+    out = layer.apply(params, jnp.asarray(x), 4)
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-6)
+
+
+def test_timestep_embedding_matches_diffusers_formula():
+    t = jnp.asarray([0, 1, 500, 999])
+    emb = layers.timestep_embedding(t, 320)
+    assert emb.shape == (4, 320)
+    # flip_sin_to_cos=True: first half cos, second half sin
+    half = np.exp(-np.log(10000) * np.arange(160) / 160.0)
+    ref = np.concatenate([np.cos(999 * half), np.sin(999 * half)])
+    # fp32 sin/cos of ~1000-radian arguments carries ~1e-3 noise vs fp64;
+    # torch computes the same embedding in fp32, so fp32 is the parity dtype.
+    np.testing.assert_allclose(np.asarray(emb[3]), ref, atol=5e-3)

@@ -1,0 +1,104 @@
+"""I2VGen-XL UNet: tiny-config forward, PnP injection branch semantics.
+
+This box has ONE cpu core, so every eager forward costs ~30s and every init
+~90s: the whole file shares a single init and runs the minimum number of
+forwards.  jit coverage for the UNet comes from the pipeline tests (the
+inversion/composite loops lax.scan-compile the same apply).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvoc_tpu import pnp as pnp_lib
+from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet, UNetConfig
+
+N_OBJ = 2
+B = N_OBJ + 3  # [bg, obj1, obj2, uncond, cond] — the PnP branch batch
+F, H, W = 2, 8, 8
+
+
+def _mask_state(gates=True):
+    masks = np.zeros((N_OBJ, F, H, W), np.float32)
+    masks[0, :, : H // 2] = 1.0
+    masks[1, :, :, : W // 2] = 1.0
+    resolutions = [(H, W), (H // 2, W // 2), (H // 4, W // 4)]
+    pyramid = {k: jnp.asarray(v) for k, v in pnp_lib.build_mask_pyramid(masks, resolutions).items()}
+    g = jnp.asarray(bool(gates))
+    return pnp_lib.PnPState(
+        masks=pyramid, gate_spatial=g, gate_temporal=g, gate_conv=g,
+        inject_background=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def unet():
+    cfg = UNetConfig.tiny()
+    model = I2VGenXLUNet(cfg)
+    rng = np.random.default_rng(1)
+
+    def mk(*shape):
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+
+    inputs = dict(
+        sample=mk(B, F, H, W, 4),
+        timestep=jnp.asarray([500] * B),
+        fps=jnp.asarray([8] * B),
+        image_latents_first=mk(B, F, H, W, 4),
+        image_latents=mk(B, F, H, W, 4),
+        image_embeddings=mk(B, F, cfg.cross_attention_dim),
+        encoder_hidden_states=mk(B, 7, cfg.cross_attention_dim),
+    )
+    params = model.init(jax.random.key(0), **inputs)
+    out_plain = np.asarray(model.apply(params, **inputs))
+    return cfg, model, params, inputs, out_plain
+
+
+def test_forward_shape_finite(unet):
+    _, _, _, _, out = unet
+    assert out.shape == (B, F, H, W, 4)
+    assert np.isfinite(out).all()
+
+
+def test_pnp_injection_changes_edit_branches_only(unet):
+    cfg, model, params, inputs, out_plain = unet
+    out_pnp = np.asarray(model.apply(params, **inputs, pnp=_mask_state()))
+    # source branches (bg + objects) are never written to
+    np.testing.assert_allclose(out_pnp[: N_OBJ + 1], out_plain[: N_OBJ + 1], atol=1e-5)
+    # edit branches must change
+    assert np.abs(out_pnp[N_OBJ + 1 :] - out_plain[N_OBJ + 1 :]).max() > 1e-4
+    # the out-conv injection is the final op => uncond == cond exactly
+    np.testing.assert_allclose(out_pnp[B - 2], out_pnp[B - 1], atol=1e-6)
+
+
+def test_pnp_gates_off_is_noop(unet):
+    cfg, model, params, inputs, out_plain = unet
+    out_off = np.asarray(model.apply(params, **inputs, pnp=_mask_state(gates=False)))
+    np.testing.assert_allclose(out_off, out_plain, atol=1e-6)
+
+
+def test_odd_resolution_forward(unet):
+    """90x160-equivalent: sizes NOT divisible by 8 exercise the explicit
+    upsample-size path (reference pipeline_i2vgen_xl.py:156-164, 328-329)."""
+    cfg, model, params, _, _ = unet
+    rng = np.random.default_rng(2)
+    h, w = 10, 14
+
+    def mk(*shape):
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+
+    out = model.apply(
+        params,
+        sample=mk(1, F, h, w, 4),
+        timestep=jnp.asarray([3]),
+        fps=jnp.asarray([8]),
+        image_latents_first=mk(1, F, h, w, 4),
+        image_latents=mk(1, F, h, w, 4),
+        image_embeddings=mk(1, F, cfg.cross_attention_dim),
+        encoder_hidden_states=mk(1, 7, cfg.cross_attention_dim),
+    )
+    assert out.shape == (1, F, h, w, 4)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,131 @@
+"""Benchmark: MVOC composite denoise steps/sec/chip on real TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Primary metric (BASELINE.json): UNet denoise steps/sec/chip at 16 frames @
+512px (latent 64x64), MVOC composite configuration — 5-branch batch
+[bg, obj1, obj2, uncond, cond], all PnP injection sites armed, CFG combine +
+DDIM step included (i.e. one full iteration of the composite loop,
+reference: pipeline_i2vgen_xl.py:1635-1734).
+
+vs_baseline: the reference publishes NO numbers (BASELINE.md); the baseline
+constant below is an estimate of the reference's fp16 batch-5 UNet step
+rate at this shape on its single-GPU setup, derived from the model's ~5.6
+TFLOP/step at 16f@512px against A100 fp16 utilization typical for diffusers
+eager UNets (~30%). Marked as an estimate; the honest cross-check is the
+end-to-end <60 s north star tracked separately.
+
+Presets:
+  --preset smoke   tiny config, 2 steps  (CI / CPU)
+  --preset full    flagship config, 16f @ 512px (default; real TPU)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_STEPS_PER_SEC_ESTIMATE = 0.55  # est. reference fp16 A100, batch-5 @16f/512px
+
+
+def build(preset: str):
+    import jax
+    import jax.numpy as jnp
+
+    from mvoc_tpu import pnp as pnp_lib
+    from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet, UNetConfig
+    from mvoc_tpu.ops.ddim import DDIM, SchedulerConfig
+
+    if preset == "full":
+        cfg = UNetConfig()
+        F, H, W = 16, 64, 64  # 512px @ /8
+        dtype = jnp.bfloat16
+    else:
+        cfg = UNetConfig.tiny()
+        F, H, W = 4, 8, 8
+        dtype = jnp.float32
+
+    n_obj, B = 2, 5
+    model = I2VGenXLUNet(cfg, dtype=dtype)
+    rng = np.random.default_rng(0)
+
+    def mk(*shape):
+        return jnp.asarray(rng.standard_normal(shape), dtype=dtype)
+
+    inputs = dict(
+        sample=mk(B, F, H, W, 4),
+        timestep=jnp.asarray([981] * B),
+        fps=jnp.asarray([8] * B),
+        image_latents_first=mk(B, F, H, W, 4),
+        image_latents=mk(B, F, H, W, 4),
+        image_embeddings=mk(B, F, cfg.cross_attention_dim),
+        encoder_hidden_states=mk(B, 77, cfg.cross_attention_dim),
+    )
+    params = jax.jit(lambda: model.init(jax.random.key(0), **inputs))()
+
+    masks = np.zeros((n_obj, F, H, W), np.float32)
+    masks[0, :, : H // 2] = 1.0
+    masks[1, :, :, : W // 2] = 1.0
+    res = [(H, W), ((H + 1) // 2, (W + 1) // 2), ((H + 3) // 4, (W + 3) // 4)]
+    pyr = {k: jnp.asarray(v) for k, v in pnp_lib.build_mask_pyramid(masks, res).items()}
+    ddim = DDIM(SchedulerConfig())
+
+    @jax.jit
+    def step(params, sample, latents):
+        pnp_state = pnp_lib.PnPState(
+            masks=pyr, masks_soft=pyr,
+            gate_spatial=jnp.asarray(True),
+            gate_temporal=jnp.asarray(True),
+            gate_conv=jnp.asarray(True),
+        )
+        eps = model.apply(params, **{**inputs, "sample": sample}, pnp=pnp_state)
+        eps_g = eps[3] + 9.0 * (eps[4] - eps[3])
+        new_latents = ddim.step(eps_g, inputs["timestep"][0], latents, 50)
+        new_sample = jnp.concatenate(
+            [sample[: n_obj + 1], new_latents[None].astype(dtype),
+             new_latents[None].astype(dtype)], axis=0)
+        return new_sample, new_latents
+
+    latents = inputs["sample"][0].astype(jnp.float32)
+    return step, params, inputs["sample"], latents
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=["smoke", "full"], default="full")
+    ap.add_argument("--iters", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    iters = args.iters or (10 if args.preset == "full" else 2)
+    step, params, sample, latents = build(args.preset)
+
+    # warmup / compile
+    s, l = step(params, sample, latents)
+    jax.block_until_ready((s, l))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s, l = step(params, s, l)
+    jax.block_until_ready((s, l))
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = iters / dt
+    print(json.dumps({
+        "metric": "composite_denoise_steps_per_sec_per_chip_16f_512px"
+        if args.preset == "full" else "composite_denoise_steps_per_sec_smoke",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3)
+        if args.preset == "full" else None,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,72 @@
+"""Shared CLI plumbing: argparse, logging, pipeline construction.
+
+Mirrors the reference drivers' config surface (reference: inverse.py:230-255,
+composite.py:227-255): an OmegaConf-style template YAML + a JSON list of
+per-job overrides, `active` flags, `ReplaceMe` sentinels — the reference's
+own config files run unchanged."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from mvoc_tpu import config as cfglib
+
+logger = logging.getLogger("mvoc_tpu")
+
+DEFAULT_CHECKPOINT = "./checkpoints/i2vgen-xl"
+
+
+def parse_args(default_template: str):
+    p = argparse.ArgumentParser()
+    p.add_argument("--template_config", type=str, default=default_template)
+    p.add_argument("--configs_json", type=str, required=True)
+    p.add_argument(
+        "--checkpoint", type=str, default=None,
+        help="HF i2vgen-xl checkpoint dir (default ./checkpoints/i2vgen-xl; "
+        "'tiny' builds a random tiny pipeline for smoke runs)",
+    )
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    return p.parse_args()
+
+
+def setup_logging(template_cfg) -> None:
+    level = logging.DEBUG if template_cfg.get("debug", False) else logging.INFO
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s - %(levelname)s - [%(funcName)s] - %(message)s",
+    )
+
+
+def load_configs(args):
+    template = cfglib.load(args.template_config)
+    entries = cfglib.load_json_list(args.configs_json)
+    return template, entries
+
+
+def build_pipeline(args, template_cfg):
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    ckpt = args.checkpoint or template_cfg.get("pretrained_model_path", DEFAULT_CHECKPOINT)
+    if ckpt == "tiny":
+        from mvoc_tpu.utils.testing import build_tiny_pipeline
+
+        logger.warning("building TINY random pipeline (smoke mode)")
+        return build_tiny_pipeline(dtype=jnp.float32)
+    if not os.path.isdir(ckpt):
+        raise FileNotFoundError(
+            f"checkpoint dir not found: {ckpt} (pass --checkpoint, set "
+            "pretrained_model_path in the template, or use --checkpoint tiny)"
+        )
+    from mvoc_tpu.pipeline.i2vgen import I2VGenXLPipeline
+
+    return I2VGenXLPipeline.from_pretrained(ckpt, dtype=dtype)
+
+
+def check_replaceme(cfg) -> None:
+    bad = cfglib.check_no_replaceme(cfg, logger)
+    for k in bad:
+        logger.error("field %s still contains 'ReplaceMe'", k)

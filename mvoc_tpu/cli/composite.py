@@ -1,0 +1,154 @@
+"""Entry point B: batch multi-object composition driver.
+
+Usage (same surface as the reference, reference: composite.py:227-255,
+scripts/run_group_composition.sh):
+
+  python -m mvoc_tpu.cli.composite \
+      --template_config configs/group_composite/template.yaml \
+      --configs_json <group_config.json> [--checkpoint <dir>|tiny]
+
+Per active entry: resolve paths, load the edited first frame + per-branch
+control frames + masks + inversion trajectories, run the PnP composite
+sampler, export mp4/gif/frames into a parameter-encoded directory
+(reference: composite.py:72-224)."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from mvoc_tpu import config as cfglib
+from mvoc_tpu.cli import common
+from mvoc_tpu.io import masks as masklib
+from mvoc_tpu.io import media
+from mvoc_tpu.io.trajectory import TrajectoryStore
+
+logger = logging.getLogger("mvoc_tpu.composite")
+
+
+def _load_frame_dir(path: str, n_frames: int, image_size) -> list:
+    frames = []
+    for i in range(n_frames):
+        p = os.path.join(path, f"{i:05d}.png")
+        from PIL import Image
+
+        img = Image.open(p).convert("RGB")
+        if img.size != tuple(image_size):
+            img = img.resize(tuple(image_size), resample=Image.Resampling.LANCZOS)
+        frames.append(img)
+    return frames
+
+
+def run_entry(pipe, config) -> None:
+    from PIL import Image
+
+    image_size = tuple(config.image_size)
+    n_frames = config.n_frames
+
+    main_1st = Image.open(config.edited_first_frame_path).convert("RGB")
+    main_1st = main_1st.resize(image_size, resample=Image.Resampling.LANCZOS)
+    main_frames = _load_frame_dir(config.edited_contorl_frame_path_main, n_frames, image_size)
+    bg_frames = _load_frame_dir(config.edited_contorl_frame_path_background, n_frames, image_size)
+    obj_frames = [
+        _load_frame_dir(p, n_frames, image_size) for p in config.edited_contorl_frame_path
+    ]
+
+    # masks at latent resolution (soft bicubic + >10 binary; the reference
+    # hardcodes downscale=8 — we derive it from the VAE so tiny smoke
+    # pipelines work too)
+    softs, bins = [], []
+    for m in config.obj_mask_path:
+        s, b = masklib.mask_preprocess(m, n_frames, downscale=pipe.vae_scale_factor)
+        softs.append(s)
+        bins.append(b)
+    masks_soft = np.stack(softs)
+    masks_binary = np.stack(bins)
+
+    bg_store = TrajectoryStore(config.bg_ddim_latents_path)
+    obj_stores = [TrajectoryStore(p) for p in config.obj_ddim_latents_path]
+
+    video = pipe.sample_composite(
+        prompt=config.editing_prompt,
+        main_first_image=main_1st,
+        main_image_list=main_frames,
+        background_image_list=bg_frames,
+        objs_image_list=obj_frames,
+        masks_soft=masks_soft,
+        masks_binary=masks_binary,
+        bg_store=bg_store,
+        obj_stores=obj_stores,
+        height=image_size[1],
+        width=image_size[0],
+        target_fps=config.target_fps,
+        num_frames=n_frames,
+        num_inference_steps=config.n_steps,
+        guidance_scale=config.cfg,
+        negative_prompt=config.editing_negative_prompt,
+        ddim_inv_prompt=config.ddim_inv_prompt,
+        ddim_init_latents_t_idx=config.ddim_init_latents_t_idx,
+        fusion_steps=tuple(config.fusion_step),
+        obj_ddim_latents_idx_offset=list(config.obj_ddim_latents_idx_offset),
+        obj_random_noise_fusion=config.get("obj_random_noise_fusion", False),
+        random_noise_ratio=config.get("random_noise_ratio", 0.0),
+        inject_background=config.get("inject_background", True),
+        pnp_f_t=config.pnp_f_t,
+        pnp_spatial_attn_t=config.pnp_spatial_attn_t,
+        pnp_temp_attn_t=config.pnp_temp_attn_t,
+        seed=config.get("seed", 6),
+    )
+
+    # parameter-encoded output dirname (reference: composite.py:195-213)
+    suffix = (
+        f"ddim_init_latents_t_idx_{config.ddim_init_latents_t_idx}"
+        f"_nsteps_{config.n_steps}_cfg_{config.cfg}"
+        f"_pnpf{config.pnp_f_t}_pnps{config.pnp_spatial_attn_t}"
+        f"_pnpt{config.pnp_temp_attn_t}_ratio{config.get('random_noise_ratio', 0.0)}"
+        f"noise_fusion_step{config.fusion_step[0]}-{config.fusion_step[1]}"
+    )
+    out_dir = os.path.join(config.output_dir, suffix)
+    os.makedirs(out_dir, exist_ok=True)
+    pil = media.video_to_pil(video)
+    pil = [f.resize(image_size, resample=Image.LANCZOS) for f in pil]
+    media.export_to_video(pil, os.path.join(out_dir, "video.mp4"), fps=config.target_fps)
+    media.export_to_gif(pil, os.path.join(out_dir, "video.gif"))
+    for i, frame in enumerate(pil):
+        frame.save(os.path.join(out_dir, f"video_{i:05d}.png"))
+    logger.info("saved composite video to %s", out_dir)
+
+
+def main() -> None:
+    args = common.parse_args("configs/group_composite/template.yaml")
+    template, entries = common.load_configs(args)
+    common.setup_logging(template)
+    pipe = common.build_pipeline(args, template)
+
+    for entry in entries:
+        if not entry.get("active", True):
+            logger.info("skipping inactive entry %s", entry.get("video_name"))
+            continue
+        config = cfglib.merge(template, entry)
+        # absolute-path resolution (reference: composite.py:97-106)
+        config.video_path = os.path.join(config.video_dir, config.video_name + ".mp4")
+        config.video_frames_path = os.path.join(config.video_dir, config.video_name)
+        config.edited_first_frame_path = os.path.join(config.data_dir, config.edited_first_frame_path)
+        config.obj_mask_path = [os.path.join(config.data_dir, p) for p in config.obj_mask_path]
+        config.obj_ddim_latents_path = [
+            os.path.join(config.data_dir, p) for p in config.obj_ddim_latents_path
+        ]
+        config.bg_ddim_latents_path = os.path.join(config.data_dir, config.bg_ddim_latents_path)
+        config.edited_contorl_frame_path_main = os.path.join(
+            config.data_dir, config.edited_contorl_frame_path_main)
+        config.edited_contorl_frame_path_background = os.path.join(
+            config.data_dir, config.edited_contorl_frame_path_background)
+        config.edited_contorl_frame_path = [
+            os.path.join(config.data_dir, p) for p in config.edited_contorl_frame_path
+        ]
+        common.check_replaceme(config)
+        logger.info("processing %s", config.get("edited_video_name", config.video_name))
+        run_entry(pipe, config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Entry point A: batch DDIM inversion driver.
+
+Usage (same surface as the reference, reference: inverse.py:230-255,
+scripts/run_group_ddim_inversion.sh):
+
+  python -m mvoc_tpu.cli.inverse \
+      --template_config configs/group_inversion/template.yaml \
+      --configs_json <group_config.json> [--checkpoint <dir>|tiny]
+
+Per active entry: load/extract frames, DDIM-invert saving the full latent
+trajectory (one stacked npz instead of 500 .pt files), then optionally run
+the reconstruction round-trip — scored with PSNR/SSIM instead of the
+reference's eyeball check (reference: inverse.py:111-227)."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from mvoc_tpu import config as cfglib
+from mvoc_tpu.cli import common
+from mvoc_tpu.io import media
+from mvoc_tpu.io.trajectory import TrajectoryStore
+from mvoc_tpu.utils.metrics import psnr, ssim
+
+logger = logging.getLogger("mvoc_tpu.inverse")
+
+
+def run_entry(pipe, config) -> None:
+    from PIL import Image
+
+    image_size = tuple(config.image_size)
+    try:
+        logger.info("loading frames from %s", config.video_frames_path)
+        _, frames = media.load_video_frames(
+            config.video_frames_path, config.n_frames, image_size)
+    except (FileNotFoundError, NotADirectoryError):
+        logger.info("converting video to frames: %s", config.video_path)
+        frames = media.convert_video_to_frames(config.video_path, image_size)
+        frames = frames[: config.n_frames]
+
+    first_frame = frames[0]
+    inv = config.inverse_config
+    if inv.get("inverse_static_video", False):
+        logger.info("inverting a static video")
+        frames = [frames[0]] * config.n_frames
+    if inv.get("null_image_inversion", False):
+        logger.info("using a null first image")
+        first_frame = Image.new("RGB", image_size, (0, 0, 0))
+
+    out_dir = inv.output_dir
+    if os.path.exists(os.path.join(out_dir, "ddim_trajectory.npz")) and not config.get(
+        "force_recompute_latents", False
+    ):
+        logger.info("skipping inversion — %s already exists", out_dir)
+    else:
+        ts, _ = pipe.invert(
+            frames,
+            first_frame=first_frame,
+            prompt=inv.prompt,
+            negative_prompt=inv.get("negative_prompt", ""),
+            height=image_size[1],
+            width=image_size[0],
+            target_fps=inv.target_fps,
+            num_frames=config.n_frames,
+            num_inference_steps=inv.n_steps,
+            guidance_scale=inv.cfg,
+            seed=config.get("seed", 8888),
+            output_dir=out_dir,
+        )
+        logger.info("inversion done: %d steps -> %s", len(ts), out_dir)
+
+    recon = config.get("recon_config")
+    if recon is not None and recon.get("enable_recon", False):
+        from mvoc_tpu.ops.ddim import sampling_timesteps
+        import jax.numpy as jnp
+
+        t_idx = recon.ddim_init_latents_t_idx
+        samp_ts = sampling_timesteps(pipe.scheduler_config, recon.n_steps)
+        store = TrajectoryStore(recon.get("ddim_latents_path", inv.output_dir))
+        start = store.load_at_t(int(samp_ts[t_idx]))
+        video = pipe.sample(
+            first_frame,
+            prompt=recon.prompt,
+            negative_prompt=recon.get("negative_prompt", ""),
+            height=image_size[1],
+            width=image_size[0],
+            target_fps=recon.target_fps,
+            num_frames=config.n_frames,
+            num_inference_steps=recon.n_steps,
+            guidance_scale=recon.cfg,
+            ddim_init_latents_t_idx=t_idx,
+            latents=jnp.asarray(start),
+            seed=config.get("seed", 8888),
+        )
+        src = media.pil_to_01(frames)
+        score_psnr = psnr(video, src)
+        score_ssim = ssim(video, src)
+        logger.info("reconstruction PSNR %.2f dB, SSIM %.4f", score_psnr, score_ssim)
+        os.makedirs(config.output_dir, exist_ok=True)
+        pil = media.video_to_pil(video)
+        media.export_to_video(pil, os.path.join(config.output_dir, "ddim_reconstruction.mp4"), fps=10)
+        media.export_to_gif(pil, os.path.join(config.output_dir, "ddim_reconstruction.gif"))
+        with open(os.path.join(config.output_dir, "recon_metrics.txt"), "w") as f:
+            f.write(f"psnr_db={score_psnr:.4f}\nssim={score_ssim:.4f}\n")
+        logger.info("saved reconstruction to %s", config.output_dir)
+
+
+def main() -> None:
+    args = common.parse_args("configs/group_inversion/template.yaml")
+    template, entries = common.load_configs(args)
+    common.setup_logging(template)
+    pipe = common.build_pipeline(args, template)
+
+    for entry in entries:
+        if not entry.get("active", True):
+            logger.info("skipping inactive entry %s", entry.get("video_name"))
+            continue
+        config = cfglib.merge(template, entry)
+        config.video_path = os.path.join(config.video_dir, config.video_name + ".mp4")
+        config.video_frames_path = os.path.join(config.video_dir, config.video_name)
+        common.check_replaceme(config)
+        logger.info("processing %s", config.video_name)
+        run_entry(pipe, config)
+
+
+if __name__ == "__main__":
+    main()

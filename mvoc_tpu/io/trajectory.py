@@ -1,0 +1,115 @@
+"""Latent trajectory store: the state bus between inversion and composition.
+
+The reference writes one ``ddim_latents_{t}.pt`` torch file per inversion
+timestep (500 files, ~3.5 GB/video; reference:
+pipeline_i2vgen_xl.py:1988-1996) and re-reads 1-3 of them from disk inside
+every denoising step (pipeline_i2vgen_xl.py:1637-1670, utils.py:31-45).
+
+TPU-native design: ONE stacked fp16 ``.npz`` per video holding
+[steps, F, h, w, C] plus the timestep vector, written once after the
+inversion scan; the composite pipeline gathers the (few) timesteps it needs
+into a single device-resident array before the sampling scan — zero
+disk/host traffic inside the hot loop.
+
+`load_at_t` also transparently reads the reference's per-step ``.pt``
+layout (via torch, CPU) so caches produced by the PyTorch implementation
+can be consumed directly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+STACK_NAME = "ddim_trajectory.npz"
+
+
+class TrajectoryStore:
+    """Read/write interface for a single video's inversion trajectory.
+
+    Latents are stored channels-last [F, h, w, C] per step (the framework's
+    native layout).  Reference .pt files ([1, C, F, h, w]) are transposed on
+    read.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._stack: np.ndarray | None = None
+        self._timesteps: np.ndarray | None = None
+
+    # -- write ------------------------------------------------------------
+
+    def save(self, timesteps: Sequence[int], latents: np.ndarray) -> str:
+        """latents: [steps, F, h, w, C]; timesteps[i] is the (noisier) t the
+        i-th entry sits at (ascending for inversion output)."""
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, STACK_NAME)
+        np.savez(
+            out,
+            timesteps=np.asarray(timesteps, dtype=np.int32),
+            latents=latents.astype(np.float16),
+        )
+        return out
+
+    # -- read -------------------------------------------------------------
+
+    def _ensure_loaded(self) -> bool:
+        if self._stack is not None:
+            return True
+        stack_path = os.path.join(self.path, STACK_NAME)
+        if os.path.exists(stack_path):
+            data = np.load(stack_path)
+            self._stack = data["latents"]
+            self._timesteps = data["timesteps"]
+            return True
+        return False
+
+    @property
+    def timesteps(self) -> np.ndarray:
+        if self._ensure_loaded():
+            return self._timesteps
+        import re, glob
+
+        ts = []
+        for p in glob.glob(os.path.join(self.path, "ddim_latents_*.pt")):
+            m = re.search(r"ddim_latents_(\d+)\.pt", os.path.basename(p))
+            if m:
+                ts.append(int(m.group(1)))
+        if not ts:
+            raise FileNotFoundError(f"no trajectory data in {self.path}")
+        return np.asarray(sorted(ts), dtype=np.int32)
+
+    def load_at_t(self, t: int) -> np.ndarray:
+        """[F, h, w, C] float32 latents at exact timestep t (reference:
+        utils.py:31-36)."""
+        if self._ensure_loaded():
+            idx = np.nonzero(self._timesteps == int(t))[0]
+            if idx.size == 0:
+                raise KeyError(f"timestep {t} not in trajectory {self.path}")
+            return self._stack[int(idx[0])].astype(np.float32)
+        return self._load_pt(int(t))
+
+    def load_at_T(self) -> tuple[int, np.ndarray]:
+        """Noisiest-step latents (reference: utils.py:39-45)."""
+        ts = self.timesteps
+        t = int(ts.max())
+        return t, self.load_at_t(t)
+
+    def gather(self, timesteps: Sequence[int]) -> np.ndarray:
+        """[len(ts), F, h, w, C] — the composite pipeline's device-resident
+        per-step slice."""
+        return np.stack([self.load_at_t(int(t)) for t in timesteps])
+
+    # -- reference .pt interop ---------------------------------------------
+
+    def _load_pt(self, t: int) -> np.ndarray:
+        p = os.path.join(self.path, f"ddim_latents_{t}.pt")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"missing latents at t={t}: {p}")
+        import torch
+
+        x = torch.load(p, map_location="cpu", weights_only=True).to(torch.float32).numpy()
+        # [1, C, F, h, w] -> [F, h, w, C]
+        return np.transpose(x[0], (1, 2, 3, 0))

@@ -127,8 +127,9 @@ def sdpa(
     """Scaled dot-product attention over [B, S, H*D] projections.
 
     Softmax in fp32 (bf16 accumulation is too lossy for 500-step inversion).
-    XLA fuses this well on TPU; a Pallas flash kernel can be slotted in here
-    for long-sequence configs (see ops/attention.py).
+    Long self-attention sequences (spatial attention at 720p latents:
+    seq = h*w = 14400) dispatch to the Pallas flash kernel on TPU; short
+    sequences (temporal seq=16, cross-attn 145 tokens) take the XLA path.
     """
     b, sq, inner = q.shape
     sk = k.shape[1]
@@ -136,6 +137,13 @@ def sdpa(
     q = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
     k = k.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
     v = v.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+
+    from mvoc_tpu.ops import attention as flash
+
+    if mask is None and flash.use_flash(sq, sk, d):
+        out = flash.flash_attention(q, k, v)
+        return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
     scale = 1.0 / math.sqrt(d)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32

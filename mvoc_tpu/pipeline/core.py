@@ -1,0 +1,280 @@
+"""Jit/scan-compiled pipeline cores: inversion, sampling, PnP composite.
+
+Each core is a pure function of (params, conditioning pytree, latents,
+schedule arrays) that compiles to ONE XLA program with a `lax.scan` over
+denoising steps — the TPU-native replacement for the reference's python
+step loops (reference: pipeline_i2vgen_xl.py:1940-2000 invert loop,
+:1166-1202 sampling loop, :1635-1734 composite loop).  All trajectory data
+is device-resident; there is no host/disk traffic inside a scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mvoc_tpu import pnp as pnp_lib
+from mvoc_tpu.ops.ddim import DDIM
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class UNetConditioning:
+    """Per-branch UNet conditioning, leading axis = branch batch B.
+
+    encoder_hidden_states: [B, 77, D]
+    image_latents_first:   [B, F, h, w, C] (temporal-encoder path)
+    image_latents:         [B, F, h, w, C] (context tokens; frame 0 = true
+                           first-frame latent, frames 1.. = position ramp —
+                           see prepare_image_latents)
+    image_embeddings:      [B, F, D_img]
+    fps:                   [B]
+    """
+
+    encoder_hidden_states: jax.Array
+    image_latents_first: jax.Array
+    image_latents: jax.Array
+    image_embeddings: jax.Array
+    fps: jax.Array
+
+
+def prepare_image_latents(first_frame_latents: jax.Array, num_frames: int) -> jax.Array:
+    """First-frame VAE latents + per-frame position ramp (reference:
+    pipeline_i2vgen_xl.py:860-890): frame 0 is the scaled latent, frame k>0
+    is a constant plane k/(F-1).
+
+    first_frame_latents: [h, w, C] (already scaled).  Returns [F, h, w, C].
+    """
+    h, w, c = first_frame_latents.shape
+    ramp = jnp.arange(1, num_frames, dtype=first_frame_latents.dtype) / (num_frames - 1)
+    planes = jnp.broadcast_to(ramp[:, None, None, None], (num_frames - 1, h, w, c))
+    return jnp.concatenate([first_frame_latents[None], planes], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Inversion
+# ---------------------------------------------------------------------------
+
+
+def ddim_inversion_core(
+    unet_apply: Callable,
+    ddim: DDIM,
+    unet_params,
+    x0_latents: jax.Array,            # [F, h, w, C] scaled clean latents
+    cond: UNetConditioning,           # B = 1 (cfg==1) or 2 ([uncond, cond])
+    timesteps: jax.Array,             # [S] ascending inversion timesteps
+    num_inference_steps: int,
+    guidance_scale: float = 1.0,
+) -> jax.Array:
+    """Full DDIM inversion as one scan. Returns the trajectory
+    [S, F, h, w, C]: entry i = latents at timesteps[i] (ascending), exactly
+    the set the reference saves per-step (pipeline_i2vgen_xl.py:1988-1996).
+    """
+    do_cfg = guidance_scale > 1.0
+    n_branches = 2 if do_cfg else 1
+
+    def body(latents, t):
+        inp = jnp.broadcast_to(latents[None], (n_branches,) + latents.shape)
+        eps = unet_apply(
+            unet_params,
+            sample=inp,
+            timestep=t,
+            fps=cond.fps,
+            image_latents_first=cond.image_latents_first,
+            image_latents=cond.image_latents,
+            image_embeddings=cond.image_embeddings,
+            encoder_hidden_states=cond.encoder_hidden_states,
+        )
+        if do_cfg:
+            eps = eps[0] + guidance_scale * (eps[1] - eps[0])
+        else:
+            eps = eps[0]
+        nxt = ddim.inverse_step(eps, t, latents, num_inference_steps)
+        return nxt, nxt
+
+    _, trajectory = jax.lax.scan(body, x0_latents, timesteps)
+    return trajectory
+
+
+# ---------------------------------------------------------------------------
+# Plain sampling (reconstruction / image-to-video)
+# ---------------------------------------------------------------------------
+
+
+def ddim_sampling_core(
+    unet_apply: Callable,
+    ddim: DDIM,
+    unet_params,
+    latents: jax.Array,               # [F, h, w, C] noisy start
+    cond: UNetConditioning,           # B = 1 or 2 ([uncond, cond])
+    timesteps: jax.Array,             # [S'] descending (possibly truncated)
+    num_inference_steps: int,
+    guidance_scale: float,
+    eta: float = 0.0,
+    noise: Optional[jax.Array] = None,  # [S', F, h, w, C] for eta > 0
+) -> jax.Array:
+    """Plain DDIM sampling scan (reference pipe.__call__ loop,
+    pipeline_i2vgen_xl.py:1166-1202, truncated start at :1141)."""
+    do_cfg = guidance_scale > 1.0
+    n_branches = 2 if do_cfg else 1
+
+    def body(lat, xs):
+        if eta > 0.0:
+            t, step_noise = xs
+        else:
+            t, step_noise = xs, None
+        inp = jnp.broadcast_to(lat[None], (n_branches,) + lat.shape)
+        eps = unet_apply(
+            unet_params,
+            sample=inp,
+            timestep=t,
+            fps=cond.fps,
+            image_latents_first=cond.image_latents_first,
+            image_latents=cond.image_latents,
+            image_embeddings=cond.image_embeddings,
+            encoder_hidden_states=cond.encoder_hidden_states,
+        )
+        if do_cfg:
+            eps = eps[0] + guidance_scale * (eps[1] - eps[0])
+        else:
+            eps = eps[0]
+        nxt = ddim.step(eps, t, lat, num_inference_steps, eta=eta, noise=step_noise)
+        return nxt, None
+
+    xs = (timesteps, noise) if eta > 0.0 else timesteps
+    final, _ = jax.lax.scan(body, latents, xs)
+    return final
+
+
+# ---------------------------------------------------------------------------
+# PnP composite sampling
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CompositeSchedule:
+    """Per-step arrays for the composite scan, all length S' (run steps).
+
+    bg_traj:        [S', F, h, w, C] background inverted latents at each run t
+    obj_traj:       [S', N, F, h, w, C] object inverted latents at each run t
+    obj_fusion_lat: [N, F, h, w, C] the (constant) offset-timestep object
+                    latents pasted during fusion.  The reference indexes its
+                    per-object fusion timestep list with a counter that is
+                    initialized to 0 and never incremented
+                    (pipeline_i2vgen_xl.py:1634, 1649), so the SAME latent —
+                    full_timesteps[offset_j:][fusion_steps[0]] — is pasted at
+                    every fusion step; replicated faithfully.
+    gates:          dict(spatial/temporal/conv) -> [S'] bool
+    fusion_mask:    [S'] bool — reference: fusion_steps[0] <= i < fusion_steps[1]
+                    over RUN step index (pipeline_i2vgen_xl.py:1639)
+    timesteps:      [S'] run timesteps (descending, truncated)
+    """
+
+    bg_traj: jax.Array
+    obj_traj: jax.Array
+    obj_fusion_lat: jax.Array
+    gate_spatial: jax.Array
+    gate_temporal: jax.Array
+    gate_conv: jax.Array
+    fusion_mask: jax.Array
+    timesteps: jax.Array
+
+
+def pnp_composite_core(
+    unet_apply: Callable,
+    ddim: DDIM,
+    unet_params,
+    init_latents: jax.Array,          # [F, h, w, C] random init
+    cond: UNetConditioning,           # B = N + 3 branches
+    sched: CompositeSchedule,
+    masks_soft: jax.Array,            # [N, F, h, w] float (noise fusion + temporal attn)
+    masks_binary_pyramid: Dict[Tuple[int, int], jax.Array],
+    masks_soft_pyramid: Dict[Tuple[int, int], jax.Array],
+    num_inference_steps: int,
+    guidance_scale: float,
+    random_noise_ratio: float = 0.0,
+    obj_random_noise_fusion: bool = False,
+    inject_background: bool = True,
+) -> jax.Array:
+    """The MVOC composite sampler as one scan (reference:
+    pipeline_i2vgen_xl.py:1635-1734 + pnp_utils injection sites).
+
+    Branch layout [bg, obj_1..obj_N, uncond, cond]; source branches are fed
+    their inverted latents at the current t every step; PnP injection and
+    noise fusion are pure gated ops.
+    """
+    n_obj = masks_soft.shape[0]
+    mask_b = masks_soft[..., None]  # [N, F, h, w, 1]
+
+    def body(latents, xs):
+        (t, bg_lat, obj_lat, g_sp, g_tmp, g_conv, fuse) = xs
+
+        # --- noise fusion (reference: pipeline_i2vgen_xl.py:1639-1665) ---
+        def fused(lat):
+            lat = random_noise_ratio * lat + (1.0 - random_noise_ratio) * bg_lat
+            for j in range(n_obj):
+                m = mask_b[j]
+                paste = sched.obj_fusion_lat[j] * m
+                if obj_random_noise_fusion:
+                    fg = lat * m * random_noise_ratio + (1.0 - random_noise_ratio) * paste
+                else:
+                    fg = paste
+                lat = lat * (1.0 - m) + fg
+            return lat
+
+        latents = jnp.where(fuse, fused(latents), latents)
+
+        # During fusion steps the object BRANCH inputs are also the offset
+        # fusion latents, not the current-t ones (the reference's fusion
+        # branch builds objs_inv_latents_at_t_list from the fusion timestep —
+        # pipeline_i2vgen_xl.py:1645-1665 vs :1667-1673).
+        obj_in = jnp.where(fuse, sched.obj_fusion_lat, obj_lat)
+
+        # --- branch batch [bg, objs, uncond, cond] (reference :1675-1677) ---
+        inp = jnp.concatenate(
+            [bg_lat[None], obj_in, latents[None], latents[None]], axis=0
+        )
+
+        pnp_state = pnp_lib.PnPState(
+            masks=masks_binary_pyramid,
+            masks_soft=masks_soft_pyramid,
+            gate_spatial=g_sp,
+            gate_temporal=g_tmp,
+            gate_conv=g_conv,
+            inject_background=inject_background,
+        )
+
+        eps = unet_apply(
+            unet_params,
+            sample=inp,
+            timestep=t,
+            fps=cond.fps,
+            image_latents_first=cond.image_latents_first,
+            image_latents=cond.image_latents,
+            image_embeddings=cond.image_embeddings,
+            encoder_hidden_states=cond.encoder_hidden_states,
+            pnp=pnp_state,
+        )
+
+        # CFG over the last two chunks (reference :1713-1717)
+        eps_neg, eps_pos = eps[n_obj + 1], eps[n_obj + 2]
+        eps_g = eps_neg + guidance_scale * (eps_pos - eps_neg)
+        nxt = ddim.step(eps_g, t, latents, num_inference_steps)
+        return nxt, None
+
+    xs = (
+        sched.timesteps,
+        sched.bg_traj,
+        sched.obj_traj,
+        sched.gate_spatial,
+        sched.gate_temporal,
+        sched.gate_conv,
+        sched.fusion_mask,
+    )
+    final, _ = jax.lax.scan(body, init_latents, xs)
+    return final

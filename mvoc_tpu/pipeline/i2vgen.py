@@ -1,0 +1,537 @@
+"""I2VGen-XL pipeline: host orchestration over the scan-compiled cores.
+
+API-parity layer for the reference's `I2VGenXLPipeline`
+(reference: pipelines/pipeline_i2vgen_xl.py:398-2018):
+  * `encode_prompt`        (:552-737)  — CLIP text + CFG negatives, clip_skip
+  * `encode_image`         (:739-769)  — CLIP vision embeds, zero negative
+  * `encode_vae_video`     (:893-920)  — per-frame VAE encode (batched here)
+  * `decode_latents`       (:771-791)
+  * `prepare_image_latents`(:860-890)  — first-frame latent + position ramp
+  * `prepare_latents`      (:922-948)
+  * `invert`               (:1750-2018) — DDIM inversion -> trajectory store
+  * `sample` (= __call__)  (:978-1216)  — truncated-start DDIM sampling
+  * `sample_composite` (= sample_with_pnp_pipeline_with_edit_prompt_
+     extraction_with_attn_injection, :1220-1748) — the MVOC sampler
+
+Differences by design (TPU-first):
+  * pure functions + explicit jax.random keys (no hidden generator state),
+  * the denoising loops are single compiled scans; trajectories live in HBM,
+  * the trajectory store is one stacked npz, not 500 torch files (it can
+    still read the reference's .pt layout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from mvoc_tpu.io import media
+from mvoc_tpu.io.trajectory import TrajectoryStore
+from mvoc_tpu.models.clip import (
+    CLIPTextModel,
+    CLIPVisionModelWithProjection,
+    normalize_clip_image,
+)
+from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet
+from mvoc_tpu.models.vae import AutoencoderKL, sample_latents
+from mvoc_tpu.ops.ddim import DDIM, SchedulerConfig, inversion_timesteps, sampling_timesteps
+from mvoc_tpu import pnp as pnp_lib
+from mvoc_tpu.pipeline import core
+
+logger = logging.getLogger(__name__)
+
+
+class I2VGenXLPipeline:
+    """Holds the model modules + params and exposes the reference's
+    pipeline-level entry points.  Batch size 1 (like the reference's actual
+    usage; multi-sample batching is a sharding axis, see parallel/)."""
+
+    def __init__(
+        self,
+        unet: I2VGenXLUNet,
+        vae: AutoencoderKL,
+        text_encoder: CLIPTextModel,
+        image_encoder: CLIPVisionModelWithProjection,
+        params: dict[str, Any],
+        scheduler_config: SchedulerConfig,
+        tokenizer=None,
+        dtype: jnp.dtype = jnp.float32,
+    ):
+        self.unet = unet
+        self.vae = vae
+        self.text_encoder = text_encoder
+        self.image_encoder = image_encoder
+        self.params = params
+        self.scheduler_config = scheduler_config
+        self.ddim = DDIM(scheduler_config)
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+        self.vae_scale_factor = vae.config.downscale_factor
+        self.vae_scaling = vae.config.scaling_factor
+        self.clip_image_size = image_encoder.config.image_size
+
+        # jitted model entry points (compiled per input signature)
+        self._vae_encode = jax.jit(
+            lambda p, x: self.vae.apply(p, x, method=AutoencoderKL.encode)
+        )
+        self._vae_decode = jax.jit(
+            lambda p, z: self.vae.apply(p, z, method=AutoencoderKL.decode)
+        )
+        self._text_apply = jax.jit(
+            lambda p, ids, skip: self.text_encoder.apply(p, ids, clip_skip=skip),
+            static_argnums=(2,),
+        )
+        self._vision_apply = jax.jit(self.image_encoder.apply)
+        self._unet_apply = lambda p, **kw: self.unet.apply(p, **kw)
+        self._invert_core = jax.jit(
+            lambda p, x0, cond, ts, n, g: core.ddim_inversion_core(
+                self._unet_apply, self.ddim, p, x0, cond, ts, n, g
+            ),
+            static_argnums=(4, 5),
+        )
+        self._sample_core = jax.jit(
+            lambda p, lat, cond, ts, n, g: core.ddim_sampling_core(
+                self._unet_apply, self.ddim, p, lat, cond, ts, n, g
+            ),
+            static_argnums=(4, 5),
+        )
+
+    @staticmethod
+    def from_pretrained(checkpoint_dir: str, dtype=jnp.bfloat16) -> "I2VGenXLPipeline":
+        """Build from an HF I2VGen-XL checkpoint directory (the same layout
+        the reference loads — reference: inverse.py:113-118)."""
+        from mvoc_tpu.models import convert
+
+        return convert.load_pipeline(checkpoint_dir, dtype=dtype)
+
+    # ------------------------------------------------------------------
+    # encoders
+    # ------------------------------------------------------------------
+
+    def tokenize(self, prompts: Sequence[str]) -> np.ndarray:
+        if self.tokenizer is None:
+            raise ValueError("pipeline has no tokenizer; pass prompt_embeds")
+        out = self.tokenizer(
+            list(prompts), padding="max_length",
+            max_length=self.tokenizer.model_max_length,
+            truncation=True, return_tensors="np",
+        )
+        return out["input_ids"]
+
+    def encode_prompt(
+        self,
+        prompt: str | Sequence[str],
+        negative_prompt: Optional[str | Sequence[str]] = None,
+        do_cfg: bool = True,
+        clip_skip: int = 1,
+        prompt_embeds: Optional[jax.Array] = None,
+        negative_prompt_embeds: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, Optional[jax.Array]]:
+        """Returns (prompt_embeds, negative_prompt_embeds) [B, 77, D].
+        clip_skip=1 (penultimate layer) is the reference default
+        (pipeline_i2vgen_xl.py:1773, 1246)."""
+        if prompt_embeds is None:
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            ids = jnp.asarray(self.tokenize(prompts))
+            prompt_embeds = self._text_apply(self.params["text_encoder"], ids, clip_skip)
+        if do_cfg and negative_prompt_embeds is None:
+            neg = negative_prompt or ""
+            negs = [neg] if isinstance(neg, str) else list(neg)
+            ids = jnp.asarray(self.tokenize(negs))
+            negative_prompt_embeds = self._text_apply(self.params["text_encoder"], ids, clip_skip)
+        return prompt_embeds, negative_prompt_embeds
+
+    def encode_image(self, image: Image.Image, width: int) -> jax.Array:
+        """CLIP image embedding of one frame: square center-crop to
+        (width, width) then bilinear 224 (reference:
+        pipeline_i2vgen_xl.py:1890-1894) -> [1, D_img]."""
+        cropped = media.center_crop_wide(image, (width, width))
+        resized = media.resize_bilinear(cropped, (self.clip_image_size, self.clip_image_size))
+        px = media.pil_to_01([resized])
+        px = normalize_clip_image(jnp.asarray(px, dtype=self.dtype))
+        return self._vision_apply(self.params["image_encoder"], px)
+
+    def encode_frames(self, frames: Sequence[Image.Image], width: int) -> jax.Array:
+        """Per-frame CLIP embeddings [F, D_img] (the composite sampler embeds
+        every control frame — reference: pipeline_i2vgen_xl.py:1416-1427)."""
+        crops = [
+            media.resize_bilinear(
+                media.center_crop_wide(f, (width, width)),
+                (self.clip_image_size, self.clip_image_size),
+            )
+            for f in frames
+        ]
+        px = normalize_clip_image(jnp.asarray(media.pil_to_01(crops), dtype=self.dtype))
+        return self._vision_apply(self.params["image_encoder"], px)
+
+    # ------------------------------------------------------------------
+    # VAE
+    # ------------------------------------------------------------------
+
+    def encode_vae_video(
+        self,
+        frames: Sequence[Image.Image],
+        height: int,
+        width: int,
+        key: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """[F, h, w, C] scaled latents. The reference encodes per-frame with
+        `latent_dist.sample()` (pipeline_i2vgen_xl.py:905-914); we batch all
+        frames into one VAE call and sample with an explicit key (mean if
+        key is None)."""
+        resized = [media.center_crop_wide(f, (width, height)) for f in frames]
+        px = jnp.asarray(media.pil_to_neg1_1(resized), dtype=self.dtype)
+        mean, logvar = self._vae_encode(self.params["vae"], px)
+        z = sample_latents(mean, logvar, key) if key is not None else mean
+        return z * self.vae_scaling
+
+    def encode_first_frame_latents(
+        self,
+        image: Image.Image,
+        height: int,
+        width: int,
+        num_frames: int,
+        key: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """prepare_image_latents equivalent -> [F, h, w, C] (frame 0 = true
+        latent, frames 1.. = position ramp)."""
+        z = self.encode_vae_video([image], height, width, key=key)[0]
+        return core.prepare_image_latents(z, num_frames)
+
+    def decode_latents(self, latents: jax.Array, decode_chunk_size: Optional[int] = None) -> np.ndarray:
+        """latents [F, h, w, C] (scaled) -> video [F, H, W, 3] float in [0,1]."""
+        z = latents / self.vae_scaling
+        if decode_chunk_size:
+            frames = [
+                self._vae_decode(self.params["vae"], z[i : i + decode_chunk_size])
+                for i in range(0, z.shape[0], decode_chunk_size)
+            ]
+            img = jnp.concatenate(frames, axis=0)
+        else:
+            img = self._vae_decode(self.params["vae"], z)
+        img = (img.astype(jnp.float32) / 2 + 0.5).clip(0.0, 1.0)
+        return np.asarray(img)
+
+    def prepare_latents(
+        self, num_frames: int, height: int, width: int, key: jax.Array
+    ) -> jax.Array:
+        shape = (
+            num_frames,
+            height // self.vae_scale_factor,
+            width // self.vae_scale_factor,
+            self.unet.config.in_channels,
+        )
+        return jax.random.normal(key, shape, dtype=jnp.float32) * self.ddim.init_noise_sigma
+
+    # ------------------------------------------------------------------
+    # conditioning assembly
+    # ------------------------------------------------------------------
+
+    def _stack_cond(
+        self,
+        text_embeds: jax.Array,        # [B, 77, D]
+        first_image_latents: jax.Array,  # [B, F, h, w, C]
+        image_latents: jax.Array,      # [B, F, h, w, C]
+        image_embeddings: jax.Array,   # [B, F, D_img]
+        fps: int,
+    ) -> core.UNetConditioning:
+        b = text_embeds.shape[0]
+        return core.UNetConditioning(
+            encoder_hidden_states=text_embeds.astype(self.dtype),
+            image_latents_first=first_image_latents.astype(self.dtype),
+            image_latents=image_latents.astype(self.dtype),
+            image_embeddings=image_embeddings.astype(self.dtype),
+            fps=jnp.full((b,), fps, dtype=jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    # entry point A: DDIM inversion (reference: invert, :1750-2018)
+    # ------------------------------------------------------------------
+
+    def invert(
+        self,
+        frames: Sequence[Image.Image],
+        first_frame: Optional[Image.Image] = None,
+        prompt: str = "",
+        negative_prompt: str = "",
+        height: int = 720,
+        width: int = 1280,
+        target_fps: int = 8,
+        num_frames: int = 16,
+        num_inference_steps: int = 500,
+        guidance_scale: float = 1.0,
+        clip_skip: int = 1,
+        seed: int = 8888,
+        output_dir: Optional[str] = None,
+        prompt_embeds: Optional[jax.Array] = None,
+        negative_prompt_embeds: Optional[jax.Array] = None,
+        latents: Optional[jax.Array] = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """DDIM-invert a video. Returns (timesteps ascending, trajectory
+        [S, F, h, w, C]); writes the trajectory store when output_dir given."""
+        key = jax.random.key(seed)
+        first_frame = first_frame or frames[0]
+        do_cfg = guidance_scale > 1.0
+
+        k_vae, k_img = jax.random.split(key)
+        if latents is None:
+            latents = self.encode_vae_video(frames, height, width, key=k_vae)
+
+        pe, ne = self.encode_prompt(
+            prompt, negative_prompt, do_cfg=do_cfg, clip_skip=clip_skip,
+            prompt_embeds=prompt_embeds, negative_prompt_embeds=negative_prompt_embeds,
+        )
+        text = jnp.concatenate([ne, pe]) if do_cfg else pe
+
+        img_emb = self.encode_image(first_frame, width)  # [1, D]
+        img_emb = jnp.broadcast_to(img_emb[:, None], (1, num_frames, img_emb.shape[-1]))
+        if do_cfg:
+            img_emb = jnp.concatenate([jnp.zeros_like(img_emb), img_emb])
+
+        img_lat = self.encode_first_frame_latents(first_frame, height, width, num_frames, key=k_img)
+        img_lat = jnp.broadcast_to(img_lat[None], (2 if do_cfg else 1,) + img_lat.shape)
+
+        cond = self._stack_cond(text, img_lat, img_lat, img_emb, target_fps)
+
+        ts = inversion_timesteps(self.scheduler_config, num_inference_steps)
+        trajectory = self._invert_core(
+            self.params["unet"], latents.astype(jnp.float32), cond,
+            jnp.asarray(ts), num_inference_steps, float(guidance_scale),
+        )
+        trajectory = np.asarray(trajectory)
+        if output_dir is not None:
+            TrajectoryStore(output_dir).save(ts, trajectory)
+            logger.info("saved trajectory (%d steps) to %s", len(ts), output_dir)
+        return ts, trajectory
+
+    # ------------------------------------------------------------------
+    # entry point D: plain sampling / reconstruction (reference __call__)
+    # ------------------------------------------------------------------
+
+    def sample(
+        self,
+        image: Image.Image,
+        prompt: str = "",
+        negative_prompt: str = "",
+        height: int = 720,
+        width: int = 1280,
+        target_fps: int = 8,
+        num_frames: int = 16,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 9.0,
+        clip_skip: int = 1,
+        ddim_init_latents_t_idx: int = 0,
+        latents: Optional[jax.Array] = None,
+        seed: int = 6,
+        decode: bool = True,
+        prompt_embeds: Optional[jax.Array] = None,
+        negative_prompt_embeds: Optional[jax.Array] = None,
+    ):
+        """Image-to-video sampling; with `latents` + t_idx it is the
+        reference's DDIM reconstruction path (inverse.py:79-108)."""
+        key = jax.random.key(seed)
+        do_cfg = guidance_scale > 1.0
+        k_lat, k_img = jax.random.split(key)
+        if latents is None:
+            latents = self.prepare_latents(num_frames, height, width, k_lat)
+
+        pe, ne = self.encode_prompt(
+            prompt, negative_prompt, do_cfg=do_cfg, clip_skip=clip_skip,
+            prompt_embeds=prompt_embeds, negative_prompt_embeds=negative_prompt_embeds,
+        )
+        text = jnp.concatenate([ne, pe]) if do_cfg else pe
+
+        img_emb = self.encode_image(image, width)
+        img_emb = jnp.broadcast_to(img_emb[:, None], (1, num_frames, img_emb.shape[-1]))
+        if do_cfg:
+            img_emb = jnp.concatenate([jnp.zeros_like(img_emb), img_emb])
+
+        img_lat = self.encode_first_frame_latents(image, height, width, num_frames, key=k_img)
+        img_lat = jnp.broadcast_to(img_lat[None], (2 if do_cfg else 1,) + img_lat.shape)
+
+        cond = self._stack_cond(text, img_lat, img_lat, img_emb, target_fps)
+
+        ts = sampling_timesteps(self.scheduler_config, num_inference_steps)
+        run_ts = ts[ddim_init_latents_t_idx:]
+        final = self._sample_core(
+            self.params["unet"], jnp.asarray(latents, dtype=jnp.float32), cond,
+            jnp.asarray(run_ts), num_inference_steps, float(guidance_scale),
+        )
+        if not decode:
+            return final
+        return self.decode_latents(final, decode_chunk_size=None)
+
+    # ------------------------------------------------------------------
+    # entry point B: PnP composite sampling
+    # ------------------------------------------------------------------
+
+    def sample_composite(
+        self,
+        prompt: str,
+        main_first_image: Image.Image,
+        main_image_list: Sequence[Image.Image],
+        background_image_list: Sequence[Image.Image],
+        objs_image_list: Sequence[Sequence[Image.Image]],
+        masks_soft: np.ndarray,       # [N, F, h_lat, w_lat] float
+        masks_binary: np.ndarray,     # [N, F, h_lat, w_lat] {0,1}
+        bg_store: TrajectoryStore,
+        obj_stores: Sequence[TrajectoryStore],
+        height: int = 720,
+        width: int = 1280,
+        target_fps: int = 8,
+        num_frames: int = 16,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 9.0,
+        negative_prompt: str = "",
+        ddim_inv_prompt: str = "",
+        clip_skip: int = 1,
+        ddim_init_latents_t_idx: int = 1,
+        fusion_steps: tuple[int, int] = (0, 3),
+        obj_ddim_latents_idx_offset: Optional[Sequence[int]] = None,
+        obj_random_noise_fusion: bool = False,
+        random_noise_ratio: float = 0.0,
+        inject_background: bool = True,
+        pnp_f_t: float = 0.8,
+        pnp_spatial_attn_t: float = 0.8,
+        pnp_temp_attn_t: float = 0.8,
+        seed: int = 6,
+        decode: bool = True,
+        prompt_embeds: Optional[jax.Array] = None,
+        negative_prompt_embeds: Optional[jax.Array] = None,
+        ddim_inv_prompt_embeds: Optional[jax.Array] = None,
+    ):
+        """The MVOC composite sampler (reference:
+        sample_with_pnp_pipeline_with_edit_prompt_extraction_with_attn_injection,
+        pipeline_i2vgen_xl.py:1220-1748 + composite.py:38-69 init_pnp)."""
+        n_obj = len(obj_stores)
+        assert masks_soft.shape[0] == n_obj
+        background_first_image = background_image_list[0]
+        objs_first_image = [o[0] for o in objs_image_list]
+        key = jax.random.key(seed)
+        k_lat, *k_enc = jax.random.split(key, 3 + n_obj + 2)
+
+        # --- text: [inv x(N+1), negative, editing] (reference :1356-1389)
+        pe, ne = self.encode_prompt(
+            prompt, negative_prompt, do_cfg=True, clip_skip=clip_skip,
+            prompt_embeds=prompt_embeds, negative_prompt_embeds=negative_prompt_embeds,
+        )
+        if ddim_inv_prompt_embeds is None:
+            ddim_inv_prompt_embeds, _ = self.encode_prompt(
+                ddim_inv_prompt, do_cfg=False, clip_skip=clip_skip,
+            )
+        inv_text = jnp.broadcast_to(
+            ddim_inv_prompt_embeds, (n_obj + 1,) + ddim_inv_prompt_embeds.shape[1:]
+        )
+        text = jnp.concatenate([inv_text, ne, pe])  # [N+3, 77, D]
+
+        # --- first-frame latents per branch (reference :1391-1477)
+        def first_lat(img, k):
+            return self.encode_first_frame_latents(img, height, width, num_frames, key=k)
+
+        bg_fl = first_lat(background_first_image, k_enc[0])
+        obj_fls = [first_lat(img, k_enc[1 + j]) for j, img in enumerate(objs_first_image)]
+        main_fl = first_lat(main_first_image, k_enc[1 + n_obj])
+        first_lats = jnp.stack([bg_fl, *obj_fls, main_fl, main_fl])  # [N+3, ...]
+
+        # --- context image latents per branch (reference :1479-1499; frame 0
+        # of each branch's control frames)
+        def ctx_lat(img, k):
+            return first_lat(img, k)
+
+        bg_cl = ctx_lat(background_image_list[0], k_enc[0])
+        obj_cls = [ctx_lat(objs_image_list[j][0], k_enc[1 + j]) for j in range(n_obj)]
+        main_cl = ctx_lat(main_first_image, k_enc[1 + n_obj])
+        ctx_lats = jnp.stack([bg_cl, *obj_cls, main_cl, main_cl])
+
+        # --- per-frame CLIP image embeddings per branch (reference :1501-1541)
+        bg_emb = self.encode_frames(background_image_list, width)      # [F, D]
+        obj_embs = [self.encode_frames(o, width) for o in objs_image_list]
+        main_emb = self.encode_frames(main_image_list, width)
+        # main branch: uncond gets ZERO image embedding (CFG), cond the real one
+        img_embs = jnp.stack([bg_emb, *obj_embs, jnp.zeros_like(main_emb), main_emb])
+
+        cond = self._stack_cond(text, first_lats, ctx_lats, img_embs, target_fps)
+
+        # --- schedule (reference :1551-1566 + composite.py:39-52)
+        full_ts = sampling_timesteps(self.scheduler_config, num_inference_steps)
+        run_ts = full_ts[ddim_init_latents_t_idx:]
+        gates = pnp_lib.injection_gates(
+            full_ts, run_ts, num_inference_steps,
+            pnp_f_t, pnp_spatial_attn_t, pnp_temp_attn_t,
+        )
+        offsets = list(obj_ddim_latents_idx_offset or [0] * n_obj)
+
+        bg_traj = bg_store.gather(run_ts)                      # [S', F, h, w, C]
+        obj_traj = np.stack([s.gather(run_ts) for s in obj_stores], axis=1)  # [S', N, ...]
+        # constant fusion latent per object (fusion_counter quirk, see core.py)
+        obj_fusion_lat = np.stack(
+            [
+                obj_stores[j].load_at_t(int(full_ts[offsets[j] :][fusion_steps[0]]))
+                for j in range(n_obj)
+            ]
+        )
+        n_run = len(run_ts)
+        fusion_mask = np.array(
+            [fusion_steps[0] <= i < fusion_steps[1] for i in range(n_run)], dtype=bool
+        )
+
+        # --- mask pyramids at every injection resolution
+        h_lat, w_lat = masks_soft.shape[2], masks_soft.shape[3]
+        resolutions = self._injection_resolutions(h_lat, w_lat)
+        pyr_bin = {
+            k: jnp.asarray(v)
+            for k, v in pnp_lib.build_mask_pyramid(masks_binary, resolutions).items()
+        }
+        pyr_soft = {
+            k: jnp.asarray(v)
+            for k, v in pnp_lib.build_mask_pyramid(masks_soft, resolutions).items()
+        }
+
+        sched = core.CompositeSchedule(
+            bg_traj=jnp.asarray(bg_traj, dtype=jnp.float32),
+            obj_traj=jnp.asarray(obj_traj, dtype=jnp.float32),
+            obj_fusion_lat=jnp.asarray(obj_fusion_lat, dtype=jnp.float32),
+            gate_spatial=jnp.asarray(gates["spatial"]),
+            gate_temporal=jnp.asarray(gates["temporal"]),
+            gate_conv=jnp.asarray(gates["conv"]),
+            fusion_mask=jnp.asarray(fusion_mask),
+            timesteps=jnp.asarray(run_ts),
+        )
+
+        init_latents = self.prepare_latents(num_frames, height, width, k_lat)
+
+        composite_fn = jax.jit(
+            lambda p, lat, c, s, ms: core.pnp_composite_core(
+                self._unet_apply, self.ddim, p, lat, c, s, ms,
+                pyr_bin, pyr_soft,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=float(guidance_scale),
+                random_noise_ratio=float(random_noise_ratio),
+                obj_random_noise_fusion=obj_random_noise_fusion,
+                inject_background=inject_background,
+            )
+        )
+        final = composite_fn(
+            self.params["unet"], init_latents, cond, sched,
+            jnp.asarray(masks_soft, dtype=jnp.float32),
+        )
+        if not decode:
+            return final
+        return self.decode_latents(final, decode_chunk_size=None)
+
+    def _injection_resolutions(self, h_lat: int, w_lat: int) -> list[tuple[int, int]]:
+        """Spatial sizes at which injection sites run: up_blocks[1] at 1/4,
+        up_blocks[2] at 1/2, up_blocks[3] + out_conv at full latent res.
+        Downsampling uses stride-2 conv floor((x+1)/2) ... -> ceil(x/2)."""
+        up = lambda x: (x + 1) // 2
+        res = [(h_lat, w_lat)]
+        h2, w2 = up(h_lat), up(w_lat)
+        res.append((h2, w2))
+        res.append((up(h2), up(w2)))
+        return res

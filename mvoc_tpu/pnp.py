@@ -62,7 +62,13 @@ class PnPState:
     single compiled UNet.  Static branch count lives in the shapes.
 
     masks: dict keyed by (h, w) static latent resolutions → float arrays of
-        shape [N, F, h, w] (object, frame, y, x) with values in {0, 1}.
+        shape [N, F, h, w] (object, frame, y, x) with values in {0, 1} —
+        the THRESHOLDED binary masks, used by spatial attention and conv
+        sites (the reference uses mask[1].to(fp16) there —
+        pnp_utils.py:648, 986, 1071, 1128).
+    masks_soft: same pyramid of the UN-thresholded bicubic-downscaled float
+        masks — used by temporal attention (the reference uses mask[0]
+        there — pnp_utils.py:805).  Defaults to `masks` when None.
     gate_spatial / gate_temporal / gate_conv: boolean scalars — precomputed
         outside as `(t ∈ schedule) | (t == 1000)` for the current step.
     inject_background: static python bool (affects attention sites only).
@@ -72,6 +78,7 @@ class PnPState:
     gate_spatial: jax.Array
     gate_temporal: jax.Array
     gate_conv: jax.Array
+    masks_soft: Optional[Dict[Tuple[int, int], jax.Array]] = None
     inject_background: bool = dataclasses.field(metadata=dict(static=True), default=True)
 
     @property
@@ -82,12 +89,13 @@ class PnPState:
     def num_branches(self) -> int:
         return self.num_objects + 3
 
-    def mask_at(self, h: int, w: int) -> jax.Array:
+    def mask_at(self, h: int, w: int, soft: bool = False) -> jax.Array:
+        table = self.masks_soft if (soft and self.masks_soft is not None) else self.masks
         try:
-            return self.masks[(h, w)]
+            return table[(h, w)]
         except KeyError:
             raise KeyError(
-                f"no precomputed mask at resolution {(h, w)}; have {sorted(self.masks)}"
+                f"no precomputed mask at resolution {(h, w)}; have {sorted(table)}"
             ) from None
 
 
@@ -156,16 +164,16 @@ def inject_temporal_qk(
     """Temporal-attention Q/K injection (reference: pnp_utils.py:778-850).
 
     q, k: [B*h*w, F, C] with B = N+3 branches (row-major: branch, then pixel).
-    The reference's mask here is the first frame's mask broadcast over frames
-    (mask[j][0] squeezed; pnp_utils.py:805-809 ends up with frame-batched
-    [F,h,w] masks rearranged to pixel rows) — per-pixel, per-frame gating.
+    Temporal sites use the SOFT (un-thresholded) mask — the reference reads
+    mask[j][0], the bicubic-downscaled float mask (pnp_utils.py:805-809),
+    rearranged so pixel positions gate rows and frames gate columns.
     """
     n = pnp.num_objects
     B = pnp.num_branches
     bhw, f, c = q.shape
     hw = bhw // B
     # [N, F, h, w] -> [N, 1, hw, F, 1]: pixel rows gate rows, frame gates cols.
-    mask = pnp.mask_at(h, w).transpose(0, 2, 3, 1).reshape(n, 1, hw, f, 1)
+    mask = pnp.mask_at(h, w, soft=True).transpose(0, 2, 3, 1).reshape(n, 1, hw, f, 1)
 
     def edit(x):
         xb = x.reshape(B, hw, f, c)

@@ -17,9 +17,14 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     # single-core CI box: multi-threaded eigen across 8 virtual devices
-    # thrashes; force single-threaded kernels.
+    # thrashes, and full XLA optimization costs ~100s/compile for the tiny
+    # UNet. opt level 0 compiles 5x faster with near-identical runtime at
+    # test shapes (numerics unaffected — tests compare against torch).
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8 --xla_cpu_multi_thread_eigen=false"
+        flags
+        + " --xla_force_host_platform_device_count=8"
+        + " --xla_cpu_multi_thread_eigen=false"
+        + " --xla_backend_optimization_level=0"
     ).strip()
 
 import jax  # noqa: E402 (may already be preimported — that's fine)

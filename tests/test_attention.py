@@ -1,0 +1,46 @@
+"""Pallas flash attention vs reference XLA attention (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvoc_tpu.ops.attention import flash_attention
+
+
+def _ref(q, k, v):
+    d = q.shape[-1]
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (300, 300), (130, 257)])
+def test_flash_matches_reference(rng, sq, sk):
+    b, h, d = 2, 3, 8
+    q = rng.standard_normal((b, h, sq, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, sk, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, sk, d), dtype=np.float32)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        block_q=128, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), _ref(q, k, v), atol=2e-5)
+
+
+def test_flash_bf16_io(rng):
+    b, h, sq, d = 1, 2, 256, 8
+    q = rng.standard_normal((b, h, sq, d), dtype=np.float32)
+    out = flash_attention(
+        jnp.asarray(q, dtype=jnp.bfloat16),
+        jnp.asarray(q, dtype=jnp.bfloat16),
+        jnp.asarray(q, dtype=jnp.bfloat16),
+        block_q=128, block_k=128, interpret=True,
+    )
+    assert out.dtype == jnp.bfloat16
+    ref = _ref(q, q, q)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), ref, atol=0.06, rtol=0.05
+    )

@@ -1,0 +1,174 @@
+"""Full CLI end-to-end: generate a tiny 2-object demo on disk, run the
+inversion driver, then the composition driver — the complete MVOC workflow
+through the same config surface the reference uses (template YAML +
+group_config.json + frame dirs + mask PNGs)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mvoc_tpu.utils import testing as tt
+
+HW = tt.TINY_HW  # 16
+F = tt.TINY_FRAMES  # 2
+N_STEPS = 8
+
+
+def _write_frames(d, seed, n=F):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, (HW, HW, 3), dtype=np.uint8)
+    for i in range(n):
+        Image.fromarray(np.roll(base, i, axis=1)).save(os.path.join(d, f"{i:05d}.png"))
+
+
+def _write_mask(path, rows=None, cols=None):
+    m = np.zeros((HW, HW), np.uint8)
+    if rows:
+        m[rows[0]: rows[1]] = 255
+    if cols:
+        m[:, cols[0]: cols[1]] = 255
+    Image.fromarray(m, mode="L").save(path)
+
+
+@pytest.fixture(scope="module")
+def demo(tmp_path_factory):
+    """A tiny on-disk demo: bg + 2 objects + edited first frame + masks."""
+    root = tmp_path_factory.mktemp("demo_root")
+    data = root / "data"
+    for name, seed in (("bg", 0), ("obj1", 1), ("obj2", 2), ("main", 3)):
+        _write_frames(str(data / "demo" / name), seed)
+    _write_mask(str(data / "mask1.png"), rows=(0, HW // 2))
+    _write_mask(str(data / "mask2.png"), cols=(0, HW // 2))
+    Image.open(data / "demo" / "main" / "00000.png").save(data / "edited_first.png")
+    return data
+
+
+def _run_cli(module, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", argv)
+    module.main()
+
+
+def test_cli_inverse_then_composite(demo, tmp_path, monkeypatch):
+    import yaml
+
+    # ---- inversion template/config for 3 source videos -------------------
+    inv_template = {
+        "seed": 1, "debug": False, "pretrained_model_path": "tiny",
+        "data_dir": str(demo),
+        "model_name": "tiny", "exp_name": "${video_name}",
+        "inv_dir": "inversions",
+        "output_dir": "${data_dir}/${inv_dir}/${model_name}/${exp_name}",
+        "image_size": [HW, HW],
+        "video_dir": "${data_dir}/demo",
+        "video_name": "ReplaceMe", "video_path": "ReplaceMe",
+        "video_frames_path": "ReplaceMe",
+        "n_frames": F,
+        "inverse_config": {
+            "image_size": "${image_size}", "n_frames": "${n_frames}",
+            "cfg": 1.0, "target_fps": 8, "prompt": "", "negative_prompt": "",
+            "n_steps": N_STEPS, "output_dir": "${output_dir}/ddim_latents",
+            "inverse_static_video": False, "null_image_inversion": False,
+        },
+        "recon_config": {
+            "enable_recon": True, "image_size": "${image_size}",
+            "n_frames": "${n_frames}", "cfg": 1.0, "target_fps": 8,
+            "prompt": "", "negative_prompt": "", "n_steps": N_STEPS,
+            "ddim_init_latents_t_idx": 1,
+            "ddim_latents_path": "${inverse_config.output_dir}",
+        },
+    }
+    tpl_path = tmp_path / "inv_template.yaml"
+    tpl_path.write_text(yaml.safe_dump(inv_template))
+    entries = [
+        {"active": True, "force_recompute_latents": True, "video_name": v}
+        for v in ("bg", "obj1", "obj2")
+    ]
+    # only run recon for one video (cuts CI time; recon is another compile)
+    entries[1]["recon_config"] = {"enable_recon": False}
+    entries[2]["recon_config"] = {"enable_recon": False}
+    json_path = tmp_path / "inv_group.json"
+    json_path.write_text(json.dumps(entries))
+
+    from mvoc_tpu.cli import inverse as inverse_cli
+
+    _run_cli(
+        inverse_cli,
+        ["inverse", "--template_config", str(tpl_path),
+         "--configs_json", str(json_path), "--checkpoint", "tiny"],
+        monkeypatch,
+    )
+    for v in ("bg", "obj1", "obj2"):
+        traj = demo / "inversions" / "tiny" / v / "ddim_latents" / "ddim_trajectory.npz"
+        assert traj.exists(), f"missing trajectory for {v}"
+    metrics = demo / "inversions" / "tiny" / "bg" / "recon_metrics.txt"
+    assert metrics.exists()
+    assert (demo / "inversions" / "tiny" / "bg" / "ddim_reconstruction.mp4").exists()
+
+    # ---- composition ------------------------------------------------------
+    comp_template = {
+        "seed": 2, "debug": False, "pretrained_model_path": "tiny",
+        "data_dir": str(demo),
+        "model_name": "tiny", "task_name": "edit",
+        "edited_video_name": "ReplaceMe",
+        "output_dir": "${data_dir}/Results/${video_name}/${edited_video_name}/",
+        "image_size": [HW, HW],
+        "video_dir": "${data_dir}/demo",
+        "video_name": "ReplaceMe", "video_path": "ReplaceMe",
+        "video_frames_path": "${video_dir}/${video_name}",
+        "edited_first_frame_path": "ReplaceMe",
+        "random_noise_ratio": 0.5,
+        "fusion_step": [0, 2],
+        "n_frames": F, "cfg": 3.0, "target_fps": 8,
+        "editing_prompt": "ReplaceMe", "editing_negative_prompt": "bad",
+        "n_steps": N_STEPS, "ddim_init_latents_t_idx": 1,
+        "ddim_inv_prompt": "",
+        "pnp_f_t": 0.5, "pnp_spatial_attn_t": 0.5, "pnp_temp_attn_t": 0.5,
+        "pnp_cross_attn_t": 0.0,
+        "inject_background": True,
+        "obj_ddim_latents_path": "ReplaceMe",
+        "obj_ddim_latents_idx_offset": [0, 0],
+        "obj_mask_path": "ReplaceMe",
+        "obj_width_height": [],
+        "obj_random_noise_fusion": False,
+        "bg_ddim_latents_path": "inversions/tiny/bg/ddim_latents",
+        "edited_contorl_frame_path": "ReplaceMe",
+        "edited_contorl_frame_path_main": "demo/main",
+        "edited_contorl_frame_path_background": "demo/bg",
+    }
+    ctpl = tmp_path / "comp_template.yaml"
+    ctpl.write_text(yaml.safe_dump(comp_template))
+    centries = [{
+        "active": True,
+        "video_name": "bg",
+        "edited_video_name": "tiny_edit",
+        "editing_prompt": "two objects over a background",
+        "edited_first_frame_path": "edited_first.png",
+        "obj_mask_path": ["mask1.png", "mask2.png"],
+        "obj_ddim_latents_path": [
+            "inversions/tiny/obj1/ddim_latents",
+            "inversions/tiny/obj2/ddim_latents",
+        ],
+        "edited_contorl_frame_path": ["demo/obj1", "demo/obj2"],
+    }]
+    cjson = tmp_path / "comp_group.json"
+    cjson.write_text(json.dumps(centries))
+
+    from mvoc_tpu.cli import composite as composite_cli
+
+    _run_cli(
+        composite_cli,
+        ["composite", "--template_config", str(ctpl),
+         "--configs_json", str(cjson), "--checkpoint", "tiny"],
+        monkeypatch,
+    )
+    results = list((demo / "Results").rglob("video.mp4"))
+    assert results, "composite video not written"
+    frames = list((demo / "Results").rglob("video_00000.png"))
+    assert frames
+    arr = np.asarray(Image.open(frames[0]))
+    assert arr.shape == (HW, HW, 3)

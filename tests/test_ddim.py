@@ -109,3 +109,48 @@ def test_add_noise_matches_closed_form():
     a = float(np.asarray(sch.alphas_cumprod[t]))
     out = np.asarray(sch.add_noise(x0, noise, t))
     np.testing.assert_allclose(out, np.sqrt(a) * 1.0 + np.sqrt(1 - a) * 2.0, rtol=1e-6)
+
+
+def test_step_is_algebraic_inverse_of_inverse_step(rng):
+    """For a FIXED eps tensor, inverse_step(x, t) then step(x, t) must return
+    x exactly (the update formulas are algebraic inverses when the same eps
+    and the same (from, to) alpha pair are used) — interior steps only (the
+    boundary step differs: DDIMInverse uses initial_alpha=1.0, DDIM uses
+    final_alpha_cumprod)."""
+    import jax.numpy as jnp
+    from mvoc_tpu.ops.ddim import DDIM, SchedulerConfig, inversion_timesteps
+
+    ddim = DDIM(SchedulerConfig())
+    n = 10
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 3), dtype=np.float32))
+    eps = jnp.asarray(rng.standard_normal((2, 4, 4, 3), dtype=np.float32))
+    for t in inversion_timesteps(SchedulerConfig(), n)[1:]:  # skip boundary
+        up = ddim.inverse_step(eps, int(t), x, n)
+        back = ddim.step(eps, int(t), up, n)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+
+
+def test_roundtrip_convergence_with_state_dependent_eps(rng):
+    """Invert-then-sample error must shrink as steps grow (first-order
+    discretization error of the PnP/DDIM inversion scheme)."""
+    import jax.numpy as jnp
+    from mvoc_tpu.ops.ddim import (
+        DDIM, SchedulerConfig, inversion_timesteps, sampling_timesteps)
+
+    cfg = SchedulerConfig()
+    ddim = DDIM(cfg)
+    x0 = jnp.asarray(rng.standard_normal((2, 8, 8, 4), dtype=np.float32))
+
+    def eps_fn(x):
+        return 0.3 * jnp.tanh(x) + 0.1 * jnp.roll(x, 1, axis=1)
+
+    errs = {}
+    for n in (10, 50):
+        x = x0
+        for t in inversion_timesteps(cfg, n):
+            x = ddim.inverse_step(eps_fn(x), int(t), x, n)
+        for t in sampling_timesteps(cfg, n):
+            x = ddim.step(eps_fn(x), int(t), x, n)
+        errs[n] = float(jnp.linalg.norm(x - x0) / jnp.linalg.norm(x0))
+    assert errs[10] < 0.2
+    assert errs[50] < errs[10] / 2

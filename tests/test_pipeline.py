@@ -1,0 +1,231 @@
+"""Pipeline cores + end-to-end tiny-pipeline tests.
+
+The centerpiece is the DDIM reconstruction round-trip — the reference's
+de-facto integration test (SURVEY.md §4: invert then re-sample and compare;
+reference inverse.py:192-227) — executed numerically on a tiny random UNet:
+inversion followed by sampling must approximately recover the original
+latents.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvoc_tpu.io.trajectory import TrajectoryStore
+from mvoc_tpu.ops.ddim import DDIM, SchedulerConfig, inversion_timesteps, sampling_timesteps
+from mvoc_tpu.pipeline import core
+from mvoc_tpu.utils import testing as tt
+
+F, LAT = tt.TINY_FRAMES, tt.TINY_HW // 2  # 2 frames, 8x8 latents
+N_STEPS = 10
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return tt.build_tiny_pipeline()
+
+
+@pytest.fixture(scope="module")
+def cond1(pipe):
+    """Branch-1 conditioning (no CFG) built from tiny synthetic data."""
+    rng = np.random.default_rng(3)
+    d = pipe.unet.config.cross_attention_dim
+    return core.UNetConditioning(
+        encoder_hidden_states=jnp.asarray(rng.standard_normal((1, 7, d), dtype=np.float32)),
+        image_latents_first=jnp.asarray(rng.standard_normal((1, F, LAT, LAT, 4), dtype=np.float32)),
+        image_latents=jnp.asarray(rng.standard_normal((1, F, LAT, LAT, 4), dtype=np.float32)),
+        image_embeddings=jnp.asarray(rng.standard_normal((1, F, d), dtype=np.float32)),
+        fps=jnp.asarray([8]),
+    )
+
+
+def test_inversion_reconstruction_roundtrip(pipe, cond1):
+    """invert(x0) -> trajectory; sample(trajectory[-1]) ~= x0.
+
+    A RANDOM-init UNet is a rough (high-Lipschitz) eps model, so the
+    first-order inversion error is much larger than with trained weights;
+    the test checks the reconstruction is strongly correlated with the
+    source and that more steps shrink the error (exact convergence-order
+    checks live in test_ddim with an analytic eps)."""
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.standard_normal((F, LAT, LAT, 4), dtype=np.float32))
+    ddim = DDIM(SchedulerConfig())
+
+    def roundtrip(n):
+        inv_ts = inversion_timesteps(SchedulerConfig(), n)
+        traj = core.ddim_inversion_core(
+            pipe._unet_apply, ddim, pipe.params["unet"], x0, cond1,
+            jnp.asarray(inv_ts), n, 1.0,
+        )
+        assert traj.shape == (n, F, LAT, LAT, 4)
+        samp_ts = sampling_timesteps(SchedulerConfig(), n)
+        rec = core.ddim_sampling_core(
+            pipe._unet_apply, ddim, pipe.params["unet"], traj[-1], cond1,
+            jnp.asarray(samp_ts), n, 1.0,
+        )
+        return np.linalg.norm(np.asarray(rec) - np.asarray(x0)) / np.linalg.norm(np.asarray(x0))
+
+    err_lo, err_hi = roundtrip(N_STEPS), roundtrip(N_STEPS * 5)
+    assert err_hi < err_lo, f"no convergence: {err_lo:.3f} -> {err_hi:.3f}"
+    assert err_hi < 1.0, f"roundtrip error too high at {N_STEPS * 5} steps: {err_hi:.3f}"
+
+
+def test_truncated_start_matches_suffix(pipe, cond1):
+    """Sampling from trajectory[t_idx] with truncated timesteps equals the
+    suffix of sampling the full chain (pure-function determinism), i.e. the
+    ddim_init_latents_t_idx contract (reference pipeline_i2vgen_xl.py:1141)."""
+    rng = np.random.default_rng(5)
+    ddim = DDIM(SchedulerConfig())
+    samp_ts = sampling_timesteps(SchedulerConfig(), N_STEPS)
+    xT = jnp.asarray(rng.standard_normal((F, LAT, LAT, 4), dtype=np.float32))
+    t_idx = 3
+
+    full = core.ddim_sampling_core(
+        pipe._unet_apply, ddim, pipe.params["unet"], xT, cond1,
+        jnp.asarray(samp_ts), N_STEPS, 1.0,
+    )
+    # run the first t_idx steps manually, then the truncated core
+    lat = xT
+    for t in samp_ts[:t_idx]:
+        eps = pipe.unet.apply(
+            pipe.params["unet"], sample=lat[None], timestep=jnp.asarray(t),
+            fps=cond1.fps, image_latents_first=cond1.image_latents_first,
+            image_latents=cond1.image_latents, image_embeddings=cond1.image_embeddings,
+            encoder_hidden_states=cond1.encoder_hidden_states,
+        )[0]
+        lat = ddim.step(eps, jnp.asarray(t), lat, N_STEPS)
+    trunc = core.ddim_sampling_core(
+        pipe._unet_apply, ddim, pipe.params["unet"], lat, cond1,
+        jnp.asarray(samp_ts[t_idx:]), N_STEPS, 1.0,
+    )
+    np.testing.assert_allclose(np.asarray(trunc), np.asarray(full), atol=2e-4)
+
+
+def test_trajectory_store_roundtrip(tmp_path, rng):
+    ts = [1, 101, 201]
+    lat = rng.standard_normal((3, F, LAT, LAT, 4)).astype(np.float32)
+    store = TrajectoryStore(str(tmp_path / "traj"))
+    store.save(ts, lat)
+    store2 = TrajectoryStore(str(tmp_path / "traj"))
+    np.testing.assert_array_equal(store2.timesteps, ts)
+    got = store2.load_at_t(101)
+    np.testing.assert_allclose(got, lat[1], atol=1e-3)  # fp16 storage
+    g = store2.gather([201, 1])
+    np.testing.assert_allclose(g[0], lat[2], atol=1e-3)
+    t, noisiest = store2.load_at_T()
+    assert t == 201
+
+
+def test_trajectory_store_reads_reference_pt_layout(tmp_path):
+    """Interop: consume the reference's per-step torch files
+    (pipeline_i2vgen_xl.py:1988-1996 layout: [1, C, F, h, w])."""
+    import torch
+
+    d = tmp_path / "ref"
+    d.mkdir()
+    x = torch.randn(1, 4, F, LAT, LAT)
+    torch.save(x, d / "ddim_latents_41.pt")
+    store = TrajectoryStore(str(d))
+    got = store.load_at_t(41)
+    ref = x[0].permute(1, 2, 3, 0).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    assert list(store.timesteps) == [41]
+
+
+def test_prepare_image_latents_ramp():
+    z = jnp.ones((LAT, LAT, 4)) * 7.0
+    out = core.prepare_image_latents(z, 5)
+    assert out.shape == (5, LAT, LAT, 4)
+    np.testing.assert_allclose(np.asarray(out[0]), 7.0)
+    np.testing.assert_allclose(np.asarray(out[1]), 0.25)  # 1/(5-1)
+    np.testing.assert_allclose(np.asarray(out[4]), 1.0)
+
+
+def test_composite_equals_plain_cfg_when_disabled(pipe, cond1):
+    """With all gates off, no fusion, and zero noise ratio, the composite
+    sampler must produce the plain CFG sampling result — the extra source
+    branches ride along but cannot influence the edit branches.
+
+    Compared over 2 steps: the per-step batch-5-vs-batch-2 fp difference is
+    ~3e-6 (verified), but a random-init UNet amplifies it chaotically over
+    long chains, so a full-chain bitwise comparison is meaningless."""
+    rng = np.random.default_rng(6)
+    n_obj = 1
+    d = pipe.unet.config.cross_attention_dim
+    ddim = DDIM(SchedulerConfig())
+    samp_ts = sampling_timesteps(SchedulerConfig(), N_STEPS)
+    run_ts = samp_ts[1:3]
+    S = len(run_ts)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s, dtype=np.float32))
+
+    # 2-branch cond for the plain sampler; composite appends source branches
+    uncond = {k: np.asarray(getattr(cond1, k)) for k in (
+        "encoder_hidden_states", "image_latents_first", "image_latents", "image_embeddings")}
+    cond_embeds = {k: v + 0.1 for k, v in uncond.items()}
+
+    cond2 = core.UNetConditioning(
+        **{k: jnp.concatenate([jnp.asarray(uncond[k]), jnp.asarray(cond_embeds[k])]) for k in uncond},
+        fps=jnp.asarray([8, 8]),
+    )
+    src = {k: mk(n_obj + 1, *uncond[k].shape[1:]) for k in uncond}
+    condN = core.UNetConditioning(
+        **{k: jnp.concatenate([src[k], jnp.asarray(uncond[k]), jnp.asarray(cond_embeds[k])]) for k in uncond},
+        fps=jnp.asarray([8] * (n_obj + 3)),
+    )
+
+    xT = mk(F, LAT, LAT, 4)
+    plain = core.ddim_sampling_core(
+        pipe._unet_apply, ddim, pipe.params["unet"], xT, cond2,
+        jnp.asarray(run_ts), N_STEPS, 3.0,
+    )
+
+    masks_soft = np.zeros((n_obj, F, LAT, LAT), np.float32)
+    from mvoc_tpu import pnp as pnp_lib
+
+    res = [(LAT, LAT), (LAT // 2, LAT // 2), (LAT // 4, LAT // 4)]
+    pyr = {k: jnp.asarray(v) for k, v in pnp_lib.build_mask_pyramid(masks_soft, res).items()}
+    off = jnp.asarray(np.zeros(S, dtype=bool))
+    sched = core.CompositeSchedule(
+        bg_traj=mk(S, F, LAT, LAT, 4),
+        obj_traj=mk(S, n_obj, F, LAT, LAT, 4),
+        obj_fusion_lat=mk(n_obj, F, LAT, LAT, 4),
+        gate_spatial=off, gate_temporal=off, gate_conv=off,
+        fusion_mask=off,
+        timesteps=jnp.asarray(run_ts),
+    )
+    comp = core.pnp_composite_core(
+        pipe._unet_apply, ddim, pipe.params["unet"], xT, condN, sched,
+        jnp.asarray(masks_soft), pyr, pyr,
+        num_inference_steps=N_STEPS, guidance_scale=3.0,
+    )
+    np.testing.assert_allclose(np.asarray(comp), np.asarray(plain), atol=5e-3)
+
+
+def test_end_to_end_tiny_invert_reconstruct(tmp_path, pipe):
+    """Full host-level round trip through the pipeline class: PIL frames ->
+    invert -> trajectory store -> truncated reconstruction -> decode."""
+    frames = tt.tiny_frames()
+    out_dir = str(tmp_path / "inv")
+    ts, traj = pipe.invert(
+        frames, prompt="", height=tt.TINY_HW, width=tt.TINY_HW,
+        num_frames=F, num_inference_steps=N_STEPS, guidance_scale=1.0,
+        output_dir=out_dir, seed=1,
+    )
+    assert traj.shape[0] == N_STEPS
+
+    store = TrajectoryStore(out_dir)
+    samp_ts = sampling_timesteps(SchedulerConfig(), N_STEPS)
+    t_idx = 1
+    start = store.load_at_t(int(samp_ts[t_idx]))
+    video = pipe.sample(
+        frames[0], prompt="", height=tt.TINY_HW, width=tt.TINY_HW,
+        num_frames=F, num_inference_steps=N_STEPS, guidance_scale=1.0,
+        ddim_init_latents_t_idx=t_idx, latents=jnp.asarray(start), seed=1,
+    )
+    assert video.shape == (F, tt.TINY_HW, tt.TINY_HW, 3)
+    assert np.isfinite(video).all()

@@ -29,6 +29,8 @@ def parse_args(default_template: str):
     )
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler (TensorBoard) trace here")
     return p.parse_args()
 
 

@@ -147,7 +147,14 @@ def main() -> None:
         ]
         common.check_replaceme(config)
         logger.info("processing %s", config.get("edited_video_name", config.video_name))
-        run_entry(pipe, config)
+        from mvoc_tpu.utils.profiling import StepTimer, save_run_config, trace
+
+        timer = StepTimer()
+        with trace(args.profile_dir):
+            with timer.stage(f"composite/{config.get('edited_video_name', config.video_name)}"):
+                run_entry(pipe, config)
+        save_run_config(config, config.output_dir)
+        logger.info("timings: %s", timer.summary())
 
 
 if __name__ == "__main__":

@@ -114,16 +114,23 @@ def main() -> None:
     common.setup_logging(template)
     pipe = common.build_pipeline(args, template)
 
-    for entry in entries:
-        if not entry.get("active", True):
-            logger.info("skipping inactive entry %s", entry.get("video_name"))
-            continue
-        config = cfglib.merge(template, entry)
-        config.video_path = os.path.join(config.video_dir, config.video_name + ".mp4")
-        config.video_frames_path = os.path.join(config.video_dir, config.video_name)
-        common.check_replaceme(config)
-        logger.info("processing %s", config.video_name)
-        run_entry(pipe, config)
+    from mvoc_tpu.utils.profiling import StepTimer, save_run_config, trace
+
+    timer = StepTimer()
+    with trace(args.profile_dir):
+        for entry in entries:
+            if not entry.get("active", True):
+                logger.info("skipping inactive entry %s", entry.get("video_name"))
+                continue
+            config = cfglib.merge(template, entry)
+            config.video_path = os.path.join(config.video_dir, config.video_name + ".mp4")
+            config.video_frames_path = os.path.join(config.video_dir, config.video_name)
+            common.check_replaceme(config)
+            logger.info("processing %s", config.video_name)
+            with timer.stage(f"invert/{config.video_name}"):
+                run_entry(pipe, config)
+            save_run_config(config, config.output_dir)
+    logger.info("timings: %s", timer.summary())
 
 
 if __name__ == "__main__":

@@ -84,3 +84,30 @@ def masks_from_arrays(
         soft = np.repeat(soft, n_frames, axis=0)
         binary = np.repeat(binary, n_frames, axis=0)
     return soft[:n_frames], binary[:n_frames]
+
+
+def exclusive_occlusion_masks(
+    masks_binary: np.ndarray, masks_soft: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-object EXCLUSIVE masks: object j's region minus everything a
+    later object covers (cumulative-union XOR), so each pixel belongs to at
+    most one object with later-object priority.
+
+    The reference computes exactly this and then discards it, reassigning
+    the original masks (pipeline_i2vgen_xl.py:1606-1632) — later-object-wins
+    comes from the injection loop order instead.  Provided here as a
+    first-class utility (useful for analysis/visualization and alternative
+    compositing policies).
+
+    masks_*: [N, F, h, w]; returns (soft_exclusive, binary_exclusive).
+    """
+    n = masks_binary.shape[0]
+    b = masks_binary.astype(bool)
+    cum_union = [b[i:].any(axis=0) for i in range(n)]  # union of j >= i
+    out_b, out_s = [], []
+    for i in range(n):
+        later = cum_union[i + 1] if i + 1 < n else np.zeros_like(b[i])
+        exclusive = np.logical_xor(cum_union[i], later)
+        out_b.append(np.logical_and(b[i], exclusive).astype(np.float32))
+        out_s.append(masks_soft[i] * exclusive.astype(np.float32))
+    return np.stack(out_s), np.stack(out_b)

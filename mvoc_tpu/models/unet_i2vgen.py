@@ -239,6 +239,50 @@ class UNetMidBlock3DCrossAttn(nn.Module):
         return x
 
 
+@dataclasses.dataclass(frozen=True)
+class FreeUConfig:
+    """FreeU (arXiv 2309.11497) up-block re-weighting — the reference
+    exposes enable_freeu/disable_freeu passthroughs on the pipeline
+    (reference: pipeline_i2vgen_xl.py:950-976).  b1/b2 amplify backbone
+    features, s1/s2 attenuate the (Fourier-low-passed) skip features in the
+    two lowest-resolution up blocks."""
+
+    s1: float = 0.9
+    s2: float = 0.2
+    b1: float = 1.1
+    b2: float = 1.2
+
+
+def _fourier_filter(x: jax.Array, threshold: int, scale: float) -> jax.Array:
+    """Scale the low-frequency (centered) box of the spatial FFT — FreeU's
+    skip-feature filter.  x: [BF, H, W, C] channels-last."""
+    bf, h, w, c = x.shape
+    xf = jnp.fft.fftshift(jnp.fft.fft2(x.astype(jnp.complex64), axes=(1, 2)), axes=(1, 2))
+    cy, cx = h // 2, w // 2
+    yy = jnp.abs(jnp.arange(h) - cy) < threshold
+    xx = jnp.abs(jnp.arange(w) - cx) < threshold
+    mask = jnp.where(yy[:, None] & xx[None, :], scale, 1.0)
+    xf = xf * mask[None, :, :, None]
+    out = jnp.fft.ifft2(jnp.fft.ifftshift(xf, axes=(1, 2)), axes=(1, 2))
+    return jnp.real(out).astype(x.dtype)
+
+
+def apply_freeu(block_index: int, hidden: jax.Array, skip: jax.Array,
+                freeu: Optional[FreeUConfig]):
+    """Re-weight (backbone hidden, skip) at the start of up blocks 0 and 1."""
+    if freeu is None or block_index > 1:
+        return hidden, skip
+    b = freeu.b1 if block_index == 0 else freeu.b2
+    s = freeu.s1 if block_index == 0 else freeu.s2
+    c = hidden.shape[-1]
+    scale = jnp.concatenate(
+        [jnp.full((c // 2,), b, hidden.dtype), jnp.ones((c - c // 2,), hidden.dtype)]
+    )
+    hidden = hidden * scale
+    skip = _fourier_filter(skip, threshold=1, scale=s)
+    return hidden, skip
+
+
 def _spatial_qk_edit(pnp, h, w):
     if pnp is None:
         return None
@@ -267,11 +311,13 @@ class UpBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, res_samples, temb, num_frames, upsample_size=None, pnp=None):
+    def __call__(self, x, res_samples, temb, num_frames, upsample_size=None, pnp=None,
+                 freeu=None):
         resnet_sites = pnp_lib.RESNET_SITES.get(self.block_index, ())
         tconv_sites = pnp_lib.TEMP_CONV_SITES.get(self.block_index, ())
         for i in range(self.num_layers):
-            x = jnp.concatenate([x, res_samples[-1 - i]], axis=-1)
+            x, skip = apply_freeu(self.block_index, x, res_samples[-1 - i], freeu)
+            x = jnp.concatenate([x, skip], axis=-1)
             hcur, wcur = x.shape[1], x.shape[2]
             x = ResnetBlock2D(
                 self.out_channels, eps=self.norm_eps, groups=self.norm_num_groups,
@@ -299,13 +345,15 @@ class CrossAttnUpBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, res_samples, temb, context, num_frames, upsample_size=None, pnp=None):
+    def __call__(self, x, res_samples, temb, context, num_frames, upsample_size=None,
+                 pnp=None, freeu=None):
         spatial_sites = pnp_lib.SPATIAL_ATTN_SITES.get(self.block_index, ())
         temporal_sites = pnp_lib.TEMPORAL_ATTN_SITES.get(self.block_index, ())
         resnet_sites = pnp_lib.RESNET_SITES.get(self.block_index, ())
         tconv_sites = pnp_lib.TEMP_CONV_SITES.get(self.block_index, ())
         for i in range(self.num_layers):
-            x = jnp.concatenate([x, res_samples[-1 - i]], axis=-1)
+            x, skip = apply_freeu(self.block_index, x, res_samples[-1 - i], freeu)
+            x = jnp.concatenate([x, skip], axis=-1)
             hcur, wcur = x.shape[1], x.shape[2]
             x = ResnetBlock2D(
                 self.out_channels, eps=self.norm_eps, groups=self.norm_num_groups,
@@ -385,6 +433,7 @@ class I2VGenXLUNet(nn.Module):
         encoder_hidden_states: jax.Array,
         pnp: Optional[pnp_lib.PnPState] = None,
         multi_frame_guidance: bool = False,
+        freeu: Optional[FreeUConfig] = None,
     ) -> jax.Array:
         cfg = self.config
         b, f, h, w, c_in = sample.shape
@@ -508,7 +557,7 @@ class I2VGenXLUNet(nn.Module):
                     out_channels=out_ch, num_layers=n_up_layers, add_upsample=not is_final,
                     norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                     block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
-                )(x, res, emb, f, upsample_size, pnp)
+                )(x, res, emb, f, upsample_size, pnp, freeu)
             else:  # CrossAttnUpBlock3D
                 x = CrossAttnUpBlock3D(
                     out_channels=out_ch, num_layers=n_up_layers, add_upsample=not is_final,
@@ -516,7 +565,7 @@ class I2VGenXLUNet(nn.Module):
                     cross_attention_dim=cfg.cross_attention_dim,
                     norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                     block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
-                )(x, res, emb, context, f, upsample_size, pnp)
+                )(x, res, emb, context, f, upsample_size, pnp, freeu)
 
         # 9. post-process (+ out-conv PnP injection, pnp_utils.py:1108-1159)
         x = GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=self.dtype, name="conv_norm_out")(x)

@@ -75,7 +75,23 @@ class I2VGenXLPipeline:
         self.vae_scale_factor = vae.config.downscale_factor
         self.vae_scaling = vae.config.scaling_factor
         self.clip_image_size = image_encoder.config.image_size
+        self.freeu = None  # set via enable_freeu
 
+        self._build_jits()
+
+    def enable_freeu(self, s1: float, s2: float, b1: float, b2: float) -> None:
+        """FreeU up-block re-weighting (reference passthrough:
+        pipeline_i2vgen_xl.py:950-976)."""
+        from mvoc_tpu.models.unet_i2vgen import FreeUConfig
+
+        self.freeu = FreeUConfig(s1=s1, s2=s2, b1=b1, b2=b2)
+        self._build_jits()  # freeu is captured at trace time
+
+    def disable_freeu(self) -> None:
+        self.freeu = None
+        self._build_jits()
+
+    def _build_jits(self):
         # jitted model entry points (compiled per input signature)
         self._vae_encode = jax.jit(
             lambda p, x: self.vae.apply(p, x, method=AutoencoderKL.encode)
@@ -88,7 +104,8 @@ class I2VGenXLPipeline:
             static_argnums=(2,),
         )
         self._vision_apply = jax.jit(self.image_encoder.apply)
-        self._unet_apply = lambda p, **kw: self.unet.apply(p, **kw)
+        freeu = self.freeu
+        self._unet_apply = lambda p, **kw: self.unet.apply(p, **kw, freeu=freeu)
         self._invert_core = jax.jit(
             lambda p, x0, cond, ts, n, g: core.ddim_inversion_core(
                 self._unet_apply, self.ddim, p, x0, cond, ts, n, g
@@ -275,6 +292,7 @@ class I2VGenXLPipeline:
     ) -> tuple[np.ndarray, np.ndarray]:
         """DDIM-invert a video. Returns (timesteps ascending, trajectory
         [S, F, h, w, C]); writes the trajectory store when output_dir given."""
+        self.check_inputs(height, width, num_frames)
         key = jax.random.key(seed)
         first_frame = first_frame or frames[0]
         do_cfg = guidance_scale > 1.0
@@ -335,6 +353,7 @@ class I2VGenXLPipeline:
     ):
         """Image-to-video sampling; with `latents` + t_idx it is the
         reference's DDIM reconstruction path (inverse.py:79-108)."""
+        self.check_inputs(height, width, num_frames)
         key = jax.random.key(seed)
         do_cfg = guidance_scale > 1.0
         k_lat, k_img = jax.random.split(key)
@@ -366,6 +385,41 @@ class I2VGenXLPipeline:
         if not decode:
             return final
         return self.decode_latents(final, decode_chunk_size=None)
+
+    def generate_background(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        height: int = 720,
+        width: int = 1280,
+        num_frames: int = 16,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 9.0,
+        target_fps: int = 8,
+        seed: int = 6,
+    ):
+        """Text-to-video background generation (the reference carries this
+        as the dormant `generated_bacground*` config block,
+        group_composite/template.yaml:26-29): image-to-video sampling
+        conditioned on a null (black) first frame, like the reference's
+        null_image_inversion mode."""
+        black = Image.new("RGB", (width, height), (0, 0, 0))
+        return self.sample(
+            black, prompt=prompt, negative_prompt=negative_prompt,
+            height=height, width=width, target_fps=target_fps,
+            num_frames=num_frames, num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, seed=seed,
+        )
+
+    def check_inputs(self, height: int, width: int, num_frames: int) -> None:
+        """Input validation (reference: check_inputs,
+        pipeline_i2vgen_xl.py:811-858)."""
+        f = self.vae_scale_factor
+        if height % f != 0 or width % f != 0:
+            raise ValueError(
+                f"height/width must be divisible by {f}, got {height}x{width}")
+        if num_frames < 2:
+            raise ValueError("num_frames must be >= 2 (temporal model)")
 
     # ------------------------------------------------------------------
     # entry point B: PnP composite sampling
@@ -409,8 +463,12 @@ class I2VGenXLPipeline:
         """The MVOC composite sampler (reference:
         sample_with_pnp_pipeline_with_edit_prompt_extraction_with_attn_injection,
         pipeline_i2vgen_xl.py:1220-1748 + composite.py:38-69 init_pnp)."""
+        self.check_inputs(height, width, num_frames)
         n_obj = len(obj_stores)
         assert masks_soft.shape[0] == n_obj
+        assert len(obj_stores) == masks_binary.shape[0], (
+            "obj_mask / obj_ddim_latents count mismatch "
+            "(reference asserts the same: pipeline_i2vgen_xl.py:1335)")
         background_first_image = background_image_list[0]
         objs_first_image = [o[0] for o in objs_image_list]
         key = jax.random.key(seed)

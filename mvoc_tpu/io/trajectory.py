@@ -5,15 +5,18 @@ timestep (500 files, ~3.5 GB/video; reference:
 pipeline_i2vgen_xl.py:1988-1996) and re-reads 1-3 of them from disk inside
 every denoising step (pipeline_i2vgen_xl.py:1637-1670, utils.py:31-45).
 
-TPU-native design: ONE stacked fp16 ``.npz`` per video holding
-[steps, F, h, w, C] plus the timestep vector, written once after the
-inversion scan; the composite pipeline gathers the (few) timesteps it needs
-into a single device-resident array before the sampling scan — zero
-disk/host traffic inside the hot loop.
+TPU-native design: ONE container per video holding [steps, F, h, w, C] fp16
+plus the timestep vector, written once after the inversion scan; the
+composite pipeline gathers the (few) timesteps it needs into a single
+device-resident array before the sampling scan — zero disk/host traffic
+inside the hot loop.
 
-`load_at_t` also transparently reads the reference's per-step ``.pt``
-layout (via torch, CPU) so caches produced by the PyTorch implementation
-can be consumed directly.
+Backends, in preference order:
+  1. native mmap container (.mvoctraj) via the C++ codec
+     (native/traj_codec.cpp): threaded fp16<->fp32 conversion, random-access
+     step gathers without reading the rest of the file;
+  2. numpy .npz (portable fallback);
+  3. the reference's per-step ``.pt`` layout (read-only interop, via torch).
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ from typing import Sequence
 import numpy as np
 
 STACK_NAME = "ddim_trajectory.npz"
+NATIVE_NAME = "ddim_trajectory.mvoctraj"
 
 
 class TrajectoryStore:
@@ -34,10 +38,12 @@ class TrajectoryStore:
     read.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, prefer_native: bool = True):
         self.path = path
+        self.prefer_native = prefer_native
         self._stack: np.ndarray | None = None
         self._timesteps: np.ndarray | None = None
+        self._native = None  # NativeTrajReader
 
     # -- write ------------------------------------------------------------
 
@@ -45,15 +51,32 @@ class TrajectoryStore:
         """latents: [steps, F, h, w, C]; timesteps[i] is the (noisier) t the
         i-th entry sits at (ascending for inversion output)."""
         os.makedirs(self.path, exist_ok=True)
+        ts = np.asarray(timesteps, dtype=np.int32)
+        if self.prefer_native:
+            from mvoc_tpu.io import native
+
+            out = os.path.join(self.path, NATIVE_NAME)
+            if native.traj_write(out, ts, np.asarray(latents, dtype=np.float32)):
+                return out
         out = os.path.join(self.path, STACK_NAME)
-        np.savez(
-            out,
-            timesteps=np.asarray(timesteps, dtype=np.int32),
-            latents=latents.astype(np.float16),
-        )
+        np.savez(out, timesteps=ts, latents=latents.astype(np.float16))
         return out
 
     # -- read -------------------------------------------------------------
+
+    def _open_native(self) -> bool:
+        if self._native is not None:
+            return True
+        p = os.path.join(self.path, NATIVE_NAME)
+        if not os.path.exists(p):
+            return False
+        try:
+            from mvoc_tpu.io import native
+
+            self._native = native.NativeTrajReader(p)
+            return True
+        except Exception:
+            return False
 
     def _ensure_loaded(self) -> bool:
         if self._stack is not None:
@@ -68,6 +91,8 @@ class TrajectoryStore:
 
     @property
     def timesteps(self) -> np.ndarray:
+        if self._open_native():
+            return self._native.timesteps
         if self._ensure_loaded():
             return self._timesteps
         import re, glob
@@ -81,14 +106,26 @@ class TrajectoryStore:
             raise FileNotFoundError(f"no trajectory data in {self.path}")
         return np.asarray(sorted(ts), dtype=np.int32)
 
+    def _indices_for(self, timesteps: Sequence[int]) -> np.ndarray:
+        table = self.timesteps
+        idx = []
+        for t in timesteps:
+            hits = np.nonzero(table == int(t))[0]
+            if hits.size == 0:
+                raise KeyError(
+                    f"timestep {t} not in trajectory {self.path} "
+                    f"(have {len(table)} steps {table.min()}..{table.max()})"
+                )
+            idx.append(int(hits[0]))
+        return np.asarray(idx, dtype=np.uint32)
+
     def load_at_t(self, t: int) -> np.ndarray:
         """[F, h, w, C] float32 latents at exact timestep t (reference:
         utils.py:31-36)."""
+        if self._open_native():
+            return self._native.gather_indices(self._indices_for([t]))[0]
         if self._ensure_loaded():
-            idx = np.nonzero(self._timesteps == int(t))[0]
-            if idx.size == 0:
-                raise KeyError(f"timestep {t} not in trajectory {self.path}")
-            return self._stack[int(idx[0])].astype(np.float32)
+            return self._stack[int(self._indices_for([t])[0])].astype(np.float32)
         return self._load_pt(int(t))
 
     def load_at_T(self) -> tuple[int, np.ndarray]:
@@ -100,6 +137,8 @@ class TrajectoryStore:
     def gather(self, timesteps: Sequence[int]) -> np.ndarray:
         """[len(ts), F, h, w, C] — the composite pipeline's device-resident
         per-step slice."""
+        if self._open_native():
+            return self._native.gather_indices(self._indices_for(timesteps))
         return np.stack([self.load_at_t(int(t)) for t in timesteps])
 
     # -- reference .pt interop ---------------------------------------------

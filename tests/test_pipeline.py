@@ -229,3 +229,30 @@ def test_end_to_end_tiny_invert_reconstruct(tmp_path, pipe):
     )
     assert video.shape == (F, tt.TINY_HW, tt.TINY_HW, 3)
     assert np.isfinite(video).all()
+
+
+def test_native_trajectory_codec_roundtrip(tmp_path, rng):
+    """C++ mmap container: write fp32 -> fp16, gather back, fp16-accurate;
+    subnormals/overflow handled; numpy fallback parity."""
+    from mvoc_tpu.io import native
+
+    if native.get_lib() is None:
+        pytest.skip("native codec unavailable")
+    lat = rng.standard_normal((5, F, LAT, LAT, 4)).astype(np.float32)
+    lat[0, 0, 0, 0, 0] = 1e-8   # fp16 subnormal range
+    lat[0, 0, 0, 0, 1] = 1e6    # fp16 overflow -> inf
+    ts = [1, 3, 5, 7, 9]
+    store = TrajectoryStore(str(tmp_path / "nat"), prefer_native=True)
+    out = store.save(ts, lat)
+    assert out.endswith(".mvoctraj")
+
+    store2 = TrajectoryStore(str(tmp_path / "nat"))
+    np.testing.assert_array_equal(store2.timesteps, ts)
+    got = store2.gather([5, 1])
+    with np.errstate(over="ignore"):  # the 1e6 -> inf cast is the point
+        ref = lat.astype(np.float16).astype(np.float32)
+    np.testing.assert_array_equal(got[0], ref[2])
+    np.testing.assert_array_equal(got[1], ref[0])
+    assert np.isinf(got[1][0, 0, 0, 1])
+    with pytest.raises(KeyError):
+        store2.load_at_t(999)

@@ -24,6 +24,7 @@ Presets:
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -35,6 +36,12 @@ REFERENCE_STEPS_PER_SEC_ESTIMATE = 0.55  # est. reference fp16 A100, batch-5 @16
 
 def build(preset: str):
     import jax
+
+    # persistent compilation cache: repeated bench runs skip the ~15 min
+    # full-UNet compile (TPU executables cache reliably; the CPU AOT
+    # feature-mismatch issue does not apply here)
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.mvoc_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
 
     from mvoc_tpu import pnp as pnp_lib

@@ -50,10 +50,13 @@ def run_entry(pipe, config) -> None:
         logger.info("using a null first image")
         first_frame = Image.new("RGB", image_size, (0, 0, 0))
 
+    from mvoc_tpu.io.trajectory import NATIVE_NAME, STACK_NAME
+
     out_dir = inv.output_dir
-    if os.path.exists(os.path.join(out_dir, "ddim_trajectory.npz")) and not config.get(
-        "force_recompute_latents", False
-    ):
+    has_cache = any(
+        os.path.exists(os.path.join(out_dir, n)) for n in (NATIVE_NAME, STACK_NAME)
+    )
+    if has_cache and not config.get("force_recompute_latents", False):
         logger.info("skipping inversion — %s already exists", out_dir)
     else:
         ts, _ = pipe.invert(

@@ -102,9 +102,12 @@ def test_cli_inverse_then_composite(demo, tmp_path, monkeypatch):
          "--configs_json", str(json_path), "--checkpoint", "tiny"],
         monkeypatch,
     )
+    from mvoc_tpu.io.trajectory import NATIVE_NAME, STACK_NAME
+
     for v in ("bg", "obj1", "obj2"):
-        traj = demo / "inversions" / "tiny" / v / "ddim_latents" / "ddim_trajectory.npz"
-        assert traj.exists(), f"missing trajectory for {v}"
+        d = demo / "inversions" / "tiny" / v / "ddim_latents"
+        assert (d / NATIVE_NAME).exists() or (d / STACK_NAME).exists(), (
+            f"missing trajectory for {v}")
     metrics = demo / "inversions" / "tiny" / "bg" / "recon_metrics.txt"
     assert metrics.exists()
     assert (demo / "inversions" / "tiny" / "bg" / "ddim_reconstruction.mp4").exists()

@@ -52,6 +52,12 @@ def build(preset: str):
         cfg = UNetConfig()
         F, H, W = 16, 64, 64  # 512px @ /8
         dtype = jnp.bfloat16
+    elif preset == "full720":
+        # the reference's working resolution: 1280x720 -> 90x160 latents
+        # (demo configs, reference: group_inversion/group_config.json:7-11)
+        cfg = UNetConfig()
+        F, H, W = 16, 90, 160
+        dtype = jnp.bfloat16
     else:
         cfg = UNetConfig.tiny()
         F, H, W = 4, 8, 8
@@ -104,13 +110,13 @@ def build(preset: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", choices=["smoke", "full"], default="full")
+    ap.add_argument("--preset", choices=["smoke", "full", "full720"], default="full")
     ap.add_argument("--iters", type=int, default=None)
     args = ap.parse_args()
 
     import jax
 
-    iters = args.iters or (10 if args.preset == "full" else 2)
+    iters = args.iters or (10 if args.preset.startswith("full") else 2)
     step, params, sample, latents = build(args.preset)
 
     # warmup / compile
@@ -125,8 +131,11 @@ def main():
 
     steps_per_sec = iters / dt
     print(json.dumps({
-        "metric": "composite_denoise_steps_per_sec_per_chip_16f_512px"
-        if args.preset == "full" else "composite_denoise_steps_per_sec_smoke",
+        "metric": {
+            "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
+            "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
+            "smoke": "composite_denoise_steps_per_sec_smoke",
+        }[args.preset],
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3)

@@ -174,6 +174,7 @@ class Attention(nn.Module):
         hidden_states: jax.Array,
         encoder_hidden_states: Optional[jax.Array] = None,
         qk_edit: Optional[QKEdit] = None,
+        attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         inner = self.heads * self.dim_head
         ctx = encoder_hidden_states if encoder_hidden_states is not None else hidden_states
@@ -182,7 +183,7 @@ class Attention(nn.Module):
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
         if qk_edit is not None:
             q, k = qk_edit(q, k)
-        out = sdpa(q, k, v, self.heads)
+        out = sdpa(q, k, v, self.heads, mask=attn_mask)
         out = nn.Dense(self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0")(out)
         return out
 
@@ -234,12 +235,13 @@ class BasicTransformerBlock(nn.Module):
         hidden_states: jax.Array,
         encoder_hidden_states: Optional[jax.Array] = None,
         attn1_qk_edit: Optional[QKEdit] = None,
+        attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         h = LayerNorm(dtype=self.dtype, name="norm1")(hidden_states)
         h = Attention(
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             dtype=self.dtype, name="attn1",
-        )(h, qk_edit=attn1_qk_edit)
+        )(h, qk_edit=attn1_qk_edit, attn_mask=attn_mask)
         hidden_states = h + hidden_states
 
         h = LayerNorm(dtype=self.dtype, name="norm2")(hidden_states)
@@ -248,7 +250,8 @@ class BasicTransformerBlock(nn.Module):
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             cross_attention_dim=None if self.double_self_attention else self.cross_attention_dim,
             dtype=self.dtype, name="attn2",
-        )(h, encoder_hidden_states=ctx)
+        )(h, encoder_hidden_states=ctx,
+          attn_mask=attn_mask if self.double_self_attention else None)
         hidden_states = h + hidden_states
 
         h = LayerNorm(dtype=self.dtype, name="norm3")(hidden_states)
@@ -308,6 +311,10 @@ class TransformerTemporalModel(nn.Module):
     dim_head: int
     num_layers: int = 1
     norm_num_groups: int = 32
+    # long-video extension (absent in the reference, which is fixed at 16
+    # frames — SURVEY.md §5): frames attend only within +-window/2 when set,
+    # keeping temporal attention O(F*window) for 64+ frame configs.
+    window: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -327,12 +334,17 @@ class TransformerTemporalModel(nn.Module):
         # [B, F, H, W, C] -> [B*H*W, F, C]
         x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, num_frames, c)
         x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        attn_mask = None
+        if self.window is not None and self.window < num_frames:
+            idx = jnp.arange(num_frames)
+            attn_mask = (jnp.abs(idx[:, None] - idx[None, :]) <= self.window // 2)
         for i in range(self.num_layers):
             x = BasicTransformerBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
                 double_self_attention=True,
                 dtype=self.dtype, name=f"transformer_blocks_{i}",
-            )(x, attn1_qk_edit=attn1_qk_edit if i == 0 else None)
+            )(x, attn1_qk_edit=attn1_qk_edit if i == 0 else None,
+              attn_mask=attn_mask)
         x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
         x = x.reshape(b, h, w, num_frames, c).transpose(0, 3, 1, 2, 4).reshape(bf, h, w, c)
         return x + residual

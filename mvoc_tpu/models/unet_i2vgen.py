@@ -72,6 +72,9 @@ class UNetConfig:
     # I2VGenXLTransformerTemporalEncoder(dim=in_ch, heads=2, head_dim=in_ch))
     img_temporal_encoder_heads: int = 2
     norm_eps: float = 1e-5
+    # long-video extension: band-limited temporal attention width (frames
+    # attend within +-window/2); None = full attention (reference behavior)
+    temporal_window: Optional[int] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -171,6 +174,7 @@ class CrossAttnDownBlock3D(nn.Module):
     cross_attention_dim: int
     norm_num_groups: int
     norm_eps: float
+    temporal_window: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -191,7 +195,8 @@ class CrossAttnDownBlock3D(nn.Module):
             )(x, context)
             x = TransformerTemporalModel(
                 self.out_channels, self.heads, self.dim_head,
-                norm_num_groups=self.norm_num_groups, dtype=self.dtype, name=f"temp_attentions_{i}",
+                norm_num_groups=self.norm_num_groups, window=self.temporal_window,
+                dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames)
             res_samples.append(x)
         if self.add_downsample:
@@ -208,6 +213,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     norm_num_groups: int
     norm_eps: float
     num_layers: int = 1
+    temporal_window: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -226,7 +232,8 @@ class UNetMidBlock3DCrossAttn(nn.Module):
             )(x, context)
             x = TransformerTemporalModel(
                 self.channels, self.heads, self.dim_head,
-                norm_num_groups=self.norm_num_groups, dtype=self.dtype, name=f"temp_attentions_{i}",
+                norm_num_groups=self.norm_num_groups, window=self.temporal_window,
+                dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames)
             x = ResnetBlock2D(
                 self.channels, eps=self.norm_eps, groups=self.norm_num_groups,
@@ -342,6 +349,7 @@ class CrossAttnUpBlock3D(nn.Module):
     norm_num_groups: int
     norm_eps: float
     block_index: int = 0
+    temporal_window: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -370,7 +378,8 @@ class CrossAttnUpBlock3D(nn.Module):
               attn1_qk_edit=_spatial_qk_edit(pnp, hcur, wcur) if i in spatial_sites else None)
             x = TransformerTemporalModel(
                 self.out_channels, self.heads, self.dim_head,
-                norm_num_groups=self.norm_num_groups, dtype=self.dtype, name=f"temp_attentions_{i}",
+                norm_num_groups=self.norm_num_groups, window=self.temporal_window,
+                dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames,
               attn1_qk_edit=_temporal_qk_edit(pnp, hcur, wcur) if i in temporal_sites else None)
         if self.add_upsample:
@@ -507,7 +516,8 @@ class I2VGenXLUNet(nn.Module):
         x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
         x = TransformerTemporalModel(
             ch0, cfg.transformer_in_heads, cfg.attention_head_dim,
-            norm_num_groups=cfg.norm_num_groups, dtype=self.dtype, name="transformer_in",
+            norm_num_groups=cfg.norm_num_groups, window=cfg.temporal_window,
+            dtype=self.dtype, name="transformer_in",
         )(x, f)
 
         # 6. down blocks
@@ -523,6 +533,7 @@ class I2VGenXLUNet(nn.Module):
                     dim_head=cfg.attention_head_dim,
                     cross_attention_dim=cfg.cross_attention_dim,
                     norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
+                    temporal_window=cfg.temporal_window,
                     dtype=self.dtype, name=f"down_blocks_{i}",
                 )(x, emb, context, f)
             else:  # DownBlock3D
@@ -540,6 +551,7 @@ class I2VGenXLUNet(nn.Module):
             dim_head=cfg.attention_head_dim,
             cross_attention_dim=cfg.cross_attention_dim,
             norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
+            temporal_window=cfg.temporal_window,
             dtype=self.dtype, name="mid_block",
         )(x, emb, context, f)
 
@@ -564,6 +576,7 @@ class I2VGenXLUNet(nn.Module):
                     heads=cfg.heads_for(out_ch), dim_head=cfg.attention_head_dim,
                     cross_attention_dim=cfg.cross_attention_dim,
                     norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
+                    temporal_window=cfg.temporal_window,
                     block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
                 )(x, res, emb, context, f, upsample_size, pnp, freeu)
 

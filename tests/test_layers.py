@@ -134,3 +134,36 @@ def test_timestep_embedding_matches_diffusers_formula():
     # fp32 sin/cos of ~1000-radian arguments carries ~1e-3 noise vs fp64;
     # torch computes the same embedding in fp32, so fp32 is the parity dtype.
     np.testing.assert_allclose(np.asarray(emb[3]), ref, atol=5e-3)
+
+
+def test_windowed_temporal_attention_locality(rng):
+    """window=F reproduces full attention; small window localizes influence:
+    perturbing frame 0 must not change frames beyond window//2."""
+    import jax
+    from mvoc_tpu.models.layers import TransformerTemporalModel
+
+    F_, H_, W_, C = 8, 2, 2, 8
+    x = rng.standard_normal((F_, H_, W_, C), dtype=np.float32)
+
+    full = TransformerTemporalModel(C, heads=2, dim_head=4, norm_num_groups=4)
+    params = full.init(jax.random.key(0), jnp.asarray(x), F_)
+    out_full = full.apply(params, jnp.asarray(x), F_)
+
+    same = TransformerTemporalModel(C, heads=2, dim_head=4, norm_num_groups=4, window=F_)
+    out_same = same.apply(params, jnp.asarray(x), F_)
+    np.testing.assert_allclose(np.asarray(out_same), np.asarray(out_full), atol=1e-6)
+
+    # locality at the attention level (bypassing the frame-spanning
+    # GroupNorm): with a band mask, a key/value perturbation in frame 0
+    # cannot reach queries beyond window//2.
+    window = 2
+    idx = np.arange(F_)
+    band = jnp.asarray(np.abs(idx[:, None] - idx[None, :]) <= window // 2)
+    q = rng.standard_normal((1, F_, C), dtype=np.float32)
+    kv1 = rng.standard_normal((1, F_, C), dtype=np.float32)
+    kv2 = kv1.copy()
+    kv2[0, 0] += 5.0
+    o1 = np.asarray(layers.sdpa(jnp.asarray(q), jnp.asarray(kv1), jnp.asarray(kv1), 2, mask=band))
+    o2 = np.asarray(layers.sdpa(jnp.asarray(q), jnp.asarray(kv2), jnp.asarray(kv2), 2, mask=band))
+    assert np.abs(o2[0, :2] - o1[0, :2]).max() > 1e-3  # frames 0-1 see it
+    np.testing.assert_array_equal(o2[0, 2:], o1[0, 2:])  # frames 2+ cannot

@@ -56,11 +56,13 @@ def run_entry(pipe, config) -> None:
     ]
 
     # masks at latent resolution (soft bicubic + >10 binary; the reference
-    # hardcodes downscale=8 — we derive it from the VAE so tiny smoke
-    # pipelines work too)
+    # downscales by x8 which assumes mask size == working size — we resize
+    # straight to the latent resolution, equivalent at matched sizes)
+    lat_wh = (image_size[0] // pipe.vae_scale_factor,
+              image_size[1] // pipe.vae_scale_factor)
     softs, bins = [], []
     for m in config.obj_mask_path:
-        s, b = masklib.mask_preprocess(m, n_frames, downscale=pipe.vae_scale_factor)
+        s, b = masklib.mask_preprocess(m, n_frames, target_wh=lat_wh)
         softs.append(s)
         bins.append(b)
     masks_soft = np.stack(softs)

@@ -30,10 +30,15 @@ from PIL import Image
 from mvoc_tpu.io.media import _frame_sort_key
 
 
-def _load_one(path: str, downscale: int) -> tuple[np.ndarray, np.ndarray]:
+def _load_one(
+    path: str, downscale: int, target_wh: tuple[int, int] | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     m = Image.open(path).convert("L")
     w, h = m.size
-    m = m.resize((w // downscale, h // downscale))  # PIL default = BICUBIC
+    # target_wh generalizes the reference's fixed //downscale (equivalent
+    # when mask resolution == image resolution); needed when masks are
+    # authored at a different size than the working resolution.
+    m = m.resize(target_wh or (w // downscale, h // downscale))  # PIL default = BICUBIC
     arr = np.asarray(m, dtype=np.float32)
     soft = arr / 255.0
     binary = (arr > 10).astype(np.float32)  # cv2.threshold(.., 10, 255, BINARY)
@@ -41,7 +46,10 @@ def _load_one(path: str, downscale: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def mask_preprocess(
-    mask_path: str, n_frames: int, downscale: int = 8
+    mask_path: str,
+    n_frames: int,
+    downscale: int = 8,
+    target_wh: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (soft, binary), each [F, h, w] float32."""
     if osp.isdir(mask_path):
@@ -50,7 +58,7 @@ def mask_preprocess(
             raise FileNotFoundError(f"no mask frames in {mask_path}")
         paths.sort(key=_frame_sort_key)
         paths = paths[:n_frames]
-        pairs = [_load_one(p, downscale) for p in paths]
+        pairs = [_load_one(p, downscale, target_wh) for p in paths]
         soft = np.stack([p[0] for p in pairs])
         binary = np.stack([p[1] for p in pairs])
         if soft.shape[0] < n_frames:  # repeat last frame if short
@@ -58,7 +66,7 @@ def mask_preprocess(
             soft = np.concatenate([soft, np.repeat(soft[-1:], pad, 0)])
             binary = np.concatenate([binary, np.repeat(binary[-1:], pad, 0)])
         return soft, binary
-    soft, binary = _load_one(mask_path, downscale)
+    soft, binary = _load_one(mask_path, downscale, target_wh)
     return (
         np.repeat(soft[None], n_frames, axis=0),
         np.repeat(binary[None], n_frames, axis=0),

@@ -1,0 +1,123 @@
+"""Integration against the REFERENCE's real demo data (read-only): run the
+full inverse -> composite workflow on /root/reference/demo/boat_surf using
+the reference's own group_config entry (merged with a tiny-model template),
+exercising real frame dirs, real per-frame mask PNGs, real config plumbing.
+
+Weights are random (no checkpoint in this image) so the output video is not
+meaningful — but every data/IO/config path is the production one.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+DEMO = os.path.join(REF, "demo", "boat_surf")
+
+HW = 16  # tiny pipeline geometry
+F = 2
+N_STEPS = 6
+
+
+@pytest.mark.skipif(not os.path.isdir(DEMO), reason="reference demo not mounted")
+def test_reference_boat_surf_demo(tmp_path, monkeypatch):
+    import yaml
+
+    data_dir = tmp_path  # writable root for latents/results
+
+    # --- stage 1: invert the boat_surf source frames (frames live under the
+    # read-only reference tree; outputs under tmp)
+    inv_template = {
+        "seed": 1, "debug": False, "pretrained_model_path": "tiny",
+        "data_dir": str(data_dir),
+        "model_name": "tiny", "exp_name": "${video_name}",
+        "inv_dir": "inversions",
+        "output_dir": "${data_dir}/${inv_dir}/${model_name}/${exp_name}",
+        "image_size": [HW, HW],
+        "video_dir": os.path.join(REF, "demo", "boat_surf"),
+        "video_name": "ReplaceMe", "video_path": "ReplaceMe",
+        "video_frames_path": "ReplaceMe",
+        "n_frames": F,
+        "inverse_config": {
+            "image_size": "${image_size}", "n_frames": "${n_frames}",
+            "cfg": 1.0, "target_fps": 8, "prompt": "", "negative_prompt": "",
+            "n_steps": N_STEPS, "output_dir": "${output_dir}/ddim_latents",
+            "inverse_static_video": False, "null_image_inversion": False,
+        },
+        "recon_config": {"enable_recon": False},
+    }
+    tpl = tmp_path / "inv.yaml"
+    tpl.write_text(yaml.safe_dump(inv_template))
+    gj = tmp_path / "inv.json"
+    gj.write_text(json.dumps([
+        {"active": True, "force_recompute_latents": True, "video_name": "boat_surf"},
+    ]))
+
+    from mvoc_tpu.cli import inverse as inverse_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "inverse", "--template_config", str(tpl), "--configs_json", str(gj),
+        "--checkpoint", "tiny"])
+    inverse_cli.main()
+    inv_out = data_dir / "inversions" / "tiny" / "boat_surf" / "ddim_latents"
+    assert any(inv_out.iterdir())
+
+    # --- stage 2: composite with the reference's own group_config entry
+    ref_entries = json.load(open(
+        os.path.join(REF, "i2vgen-xl", "configs", "group_composite", "group_config.json")))
+    entry = dict(ref_entries[0])
+    assert entry["video_name"] == "boat_surf"
+    # point latents at our tiny inversion + shrink sizes; data paths stay
+    # the reference's own (read via data_dir override below)
+    entry["image_size"] = [HW, HW]
+    entry["obj_ddim_latents_path"] = ["inversions/tiny/boat_surf/ddim_latents"] * 2
+    entry["bg_ddim_latents_path"] = "inversions/tiny/boat_surf/ddim_latents"
+
+    comp_template = {
+        "seed": 2, "debug": False, "pretrained_model_path": "tiny",
+        "data_dir": str(data_dir),
+        "model_name": "tiny", "task_name": "MVOC-Demo",
+        "edited_video_name": "ReplaceMe",
+        "output_dir": "${data_dir}/Results/${video_name}/${edited_video_name}/",
+        "image_size": [HW, HW],
+        "video_dir": os.path.join(REF, "demo"),
+        "video_name": "ReplaceMe", "video_path": "ReplaceMe",
+        "video_frames_path": "${video_dir}/${video_name}",
+        "edited_first_frame_path": "ReplaceMe",
+        "random_noise_ratio": 0.0, "fusion_step": [0, 1],
+        "n_frames": F, "cfg": 3.0, "target_fps": 8,
+        "editing_prompt": "ReplaceMe", "editing_negative_prompt": "bad",
+        "n_steps": N_STEPS, "ddim_init_latents_t_idx": 0,
+        "ddim_inv_prompt": "",
+        "pnp_f_t": 0.1, "pnp_spatial_attn_t": 1.0, "pnp_temp_attn_t": 1.0,
+        "pnp_cross_attn_t": 0.0, "inject_background": True,
+        "obj_ddim_latents_path": "ReplaceMe",
+        "obj_ddim_latents_idx_offset": [0, 0],
+        "obj_mask_path": "ReplaceMe", "obj_width_height": [],
+        "obj_random_noise_fusion": False,
+        "bg_ddim_latents_path": "ReplaceMe",
+        "edited_contorl_frame_path": "ReplaceMe",
+        "edited_contorl_frame_path_main": "ReplaceMe",
+        "edited_contorl_frame_path_background": "ReplaceMe",
+    }
+    # the reference entry's relative paths (demo/boat_surf/...) resolve
+    # against data_dir — symlink the reference demo tree into our tmp root
+    (data_dir / "demo").symlink_to(os.path.join(REF, "demo"))
+
+    ctpl = tmp_path / "comp.yaml"
+    ctpl.write_text(yaml.safe_dump(comp_template))
+    cgj = tmp_path / "comp.json"
+    cgj.write_text(json.dumps([entry]))
+
+    from mvoc_tpu.cli import composite as composite_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "composite", "--template_config", str(ctpl), "--configs_json", str(cgj),
+        "--checkpoint", "tiny"])
+    composite_cli.main()
+
+    results = list((data_dir / "Results").rglob("video.mp4"))
+    assert results, "composite video not written from reference demo data"

@@ -84,14 +84,16 @@ class GroupNorm(nn.Module):
         assert c % g == 0, f"channels {c} not divisible by groups {g}"
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        shape = xf.shape
-        xg = xf.reshape(shape[0], -1, g, c // g)  # [B, spatial, G, C/G]
+        shape = x.shape
+        xg = x.astype(jnp.float32).reshape(shape[0], -1, g, c // g)
         mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
         var = jnp.var(xg, axis=(1, 3), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        xf = xg.reshape(shape) * scale + bias
-        return xf.astype(orig_dtype)
+        # normalize in fp32 (fused into one kernel), but apply the affine in
+        # the input dtype so no full-size fp32 temp survives — torch fp16
+        # GroupNorm behaves the same way.
+        xn = ((xg - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(orig_dtype)
+        xn = xn.reshape(shape)
+        return xn * scale.astype(orig_dtype) + bias.astype(orig_dtype)
 
 
 class LayerNorm(nn.Module):
@@ -109,12 +111,12 @@ class LayerNorm(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
-        xf = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(orig_dtype)
         if self.use_scale:
-            xf = xf * self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            xn = xn * self.param("scale", nn.initializers.ones, (c,), jnp.float32).astype(orig_dtype)
         if self.use_bias:
-            xf = xf + self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return xf.astype(orig_dtype)
+            xn = xn + self.param("bias", nn.initializers.zeros, (c,), jnp.float32).astype(orig_dtype)
+        return xn
 
 
 def sdpa(
@@ -190,26 +192,51 @@ class Attention(nn.Module):
 
 class FeedForward(nn.Module):
     """diffusers FeedForward.  activation: 'geglu' (net.0 = GEGLU proj to
-    2*inner, gated gelu) or 'gelu' (net.0 = Linear+gelu).  net.2 = Linear."""
+    2*inner, gated gelu) or 'gelu' (net.0 = Linear+gelu).  net.2 = Linear.
+
+    chunk_rows bounds the GEGLU intermediate: the hidden expansion of a
+    720p-latent transformer is [72000*16, 2560] ≈ 5.5 GB bf16 if
+    materialized whole (it OOMs a 16 GB chip); chunking the flattened token
+    axis keeps peak memory at chunk_rows*2*inner while the matmuls stay
+    MXU-sized.  FF is pointwise over tokens, so chunking is exact."""
 
     dim: int
     inner_dim: Optional[int] = None  # default 4*dim
     activation: str = "geglu"
+    chunk_rows: int = 0  # 0 = no chunking
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         inner = self.inner_dim or self.dim * 4
-        if self.activation == "geglu":
-            h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
-            h, gate = jnp.split(h, 2, axis=-1)
-            h = h * jax.nn.gelu(gate, approximate=False)
-        elif self.activation == "gelu":
-            h = nn.Dense(inner, dtype=self.dtype, name="net_0_proj")(x)
-            h = jax.nn.gelu(h, approximate=False)
-        else:
-            raise ValueError(f"unknown activation {self.activation}")
-        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+        proj_in = nn.Dense(
+            inner * 2 if self.activation == "geglu" else inner,
+            dtype=self.dtype, name="net_0_proj")
+        proj_out = nn.Dense(self.dim, dtype=self.dtype, name="net_2")
+
+        def ff(t):
+            h = proj_in(t)
+            if self.activation == "geglu":
+                h, gate = jnp.split(h, 2, axis=-1)
+                h = h * jax.nn.gelu(gate, approximate=False)
+            elif self.activation == "gelu":
+                h = jax.nn.gelu(h, approximate=False)
+            else:
+                raise ValueError(f"unknown activation {self.activation}")
+            return proj_out(h)
+
+        lead = x.shape[:-1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        if not self.chunk_rows or rows <= self.chunk_rows:
+            return ff(x)
+        x2 = x.reshape(rows, x.shape[-1])
+        outs = [
+            ff(x2[i : i + self.chunk_rows])
+            for i in range(0, rows, self.chunk_rows)
+        ]
+        return jnp.concatenate(outs, axis=0).reshape(*lead, self.dim)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -227,6 +254,7 @@ class BasicTransformerBlock(nn.Module):
     cross_attention_dim: Optional[int] = None
     double_self_attention: bool = False
     activation: str = "geglu"
+    ff_chunk_rows: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -255,7 +283,8 @@ class BasicTransformerBlock(nn.Module):
         hidden_states = h + hidden_states
 
         h = LayerNorm(dtype=self.dtype, name="norm3")(hidden_states)
-        h = FeedForward(dim=self.dim, activation=self.activation, dtype=self.dtype, name="ff")(h)
+        h = FeedForward(dim=self.dim, activation=self.activation,
+                        chunk_rows=self.ff_chunk_rows, dtype=self.dtype, name="ff")(h)
         return h + hidden_states
 
 
@@ -273,6 +302,7 @@ class Transformer2DModel(nn.Module):
     cross_attention_dim: int
     num_layers: int = 1
     norm_num_groups: int = 32
+    ff_chunk_rows: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -292,6 +322,7 @@ class Transformer2DModel(nn.Module):
             x = BasicTransformerBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
                 cross_attention_dim=self.cross_attention_dim,
+                ff_chunk_rows=self.ff_chunk_rows,
                 dtype=self.dtype, name=f"transformer_blocks_{i}",
             )(x, encoder_hidden_states, attn1_qk_edit=attn1_qk_edit if i == 0 else None)
         x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
@@ -315,6 +346,7 @@ class TransformerTemporalModel(nn.Module):
     # frames — SURVEY.md §5): frames attend only within +-window/2 when set,
     # keeping temporal attention O(F*window) for 64+ frame configs.
     window: Optional[int] = None
+    ff_chunk_rows: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -342,6 +374,7 @@ class TransformerTemporalModel(nn.Module):
             x = BasicTransformerBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
                 double_self_attention=True,
+                ff_chunk_rows=self.ff_chunk_rows,
                 dtype=self.dtype, name=f"transformer_blocks_{i}",
             )(x, attn1_qk_edit=attn1_qk_edit if i == 0 else None,
               attn_mask=attn_mask)

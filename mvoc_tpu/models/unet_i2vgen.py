@@ -75,6 +75,10 @@ class UNetConfig:
     # long-video extension: band-limited temporal attention width (frames
     # attend within +-window/2); None = full attention (reference behavior)
     temporal_window: Optional[int] = None
+    # memory: bound transformer FF GEGLU intermediates (rows per chunk on
+    # the flattened token axis); 0 disables. 65536 rows * 2*inner(2560)
+    # bf16 = 336 MB peak at the widest block — fits 720p on one 16 GB chip.
+    ff_chunk_rows: int = 65536
 
     @property
     def time_embed_dim(self) -> int:
@@ -174,6 +178,7 @@ class CrossAttnDownBlock3D(nn.Module):
     cross_attention_dim: int
     norm_num_groups: int
     norm_eps: float
+    ff_chunk_rows: int = 0
     temporal_window: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -191,11 +196,13 @@ class CrossAttnDownBlock3D(nn.Module):
             )(x, num_frames)
             x = Transformer2DModel(
                 self.out_channels, self.heads, self.dim_head, self.cross_attention_dim,
-                norm_num_groups=self.norm_num_groups, dtype=self.dtype, name=f"attentions_{i}",
+                norm_num_groups=self.norm_num_groups, ff_chunk_rows=self.ff_chunk_rows,
+                dtype=self.dtype, name=f"attentions_{i}",
             )(x, context)
             x = TransformerTemporalModel(
                 self.out_channels, self.heads, self.dim_head,
                 norm_num_groups=self.norm_num_groups, window=self.temporal_window,
+                ff_chunk_rows=self.ff_chunk_rows,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames)
             res_samples.append(x)
@@ -213,6 +220,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     norm_num_groups: int
     norm_eps: float
     num_layers: int = 1
+    ff_chunk_rows: int = 0
     temporal_window: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -228,11 +236,13 @@ class UNetMidBlock3DCrossAttn(nn.Module):
         for i in range(self.num_layers):
             x = Transformer2DModel(
                 self.channels, self.heads, self.dim_head, self.cross_attention_dim,
-                norm_num_groups=self.norm_num_groups, dtype=self.dtype, name=f"attentions_{i}",
+                norm_num_groups=self.norm_num_groups, ff_chunk_rows=self.ff_chunk_rows,
+                dtype=self.dtype, name=f"attentions_{i}",
             )(x, context)
             x = TransformerTemporalModel(
                 self.channels, self.heads, self.dim_head,
                 norm_num_groups=self.norm_num_groups, window=self.temporal_window,
+                ff_chunk_rows=self.ff_chunk_rows,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames)
             x = ResnetBlock2D(
@@ -349,6 +359,7 @@ class CrossAttnUpBlock3D(nn.Module):
     norm_num_groups: int
     norm_eps: float
     block_index: int = 0
+    ff_chunk_rows: int = 0
     temporal_window: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -373,12 +384,14 @@ class CrossAttnUpBlock3D(nn.Module):
             )(x, num_frames, pnp_edit=_conv_edit(pnp, hcur, wcur) if i in tconv_sites else None)
             x = Transformer2DModel(
                 self.out_channels, self.heads, self.dim_head, self.cross_attention_dim,
-                norm_num_groups=self.norm_num_groups, dtype=self.dtype, name=f"attentions_{i}",
+                norm_num_groups=self.norm_num_groups, ff_chunk_rows=self.ff_chunk_rows,
+                dtype=self.dtype, name=f"attentions_{i}",
             )(x, context,
               attn1_qk_edit=_spatial_qk_edit(pnp, hcur, wcur) if i in spatial_sites else None)
             x = TransformerTemporalModel(
                 self.out_channels, self.heads, self.dim_head,
                 norm_num_groups=self.norm_num_groups, window=self.temporal_window,
+                ff_chunk_rows=self.ff_chunk_rows,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames,
               attn1_qk_edit=_temporal_qk_edit(pnp, hcur, wcur) if i in temporal_sites else None)
@@ -517,6 +530,7 @@ class I2VGenXLUNet(nn.Module):
         x = TransformerTemporalModel(
             ch0, cfg.transformer_in_heads, cfg.attention_head_dim,
             norm_num_groups=cfg.norm_num_groups, window=cfg.temporal_window,
+            ff_chunk_rows=cfg.ff_chunk_rows,
             dtype=self.dtype, name="transformer_in",
         )(x, f)
 
@@ -533,7 +547,7 @@ class I2VGenXLUNet(nn.Module):
                     dim_head=cfg.attention_head_dim,
                     cross_attention_dim=cfg.cross_attention_dim,
                     norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
-                    temporal_window=cfg.temporal_window,
+                    temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
                     dtype=self.dtype, name=f"down_blocks_{i}",
                 )(x, emb, context, f)
             else:  # DownBlock3D
@@ -551,7 +565,7 @@ class I2VGenXLUNet(nn.Module):
             dim_head=cfg.attention_head_dim,
             cross_attention_dim=cfg.cross_attention_dim,
             norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
-            temporal_window=cfg.temporal_window,
+            temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
             dtype=self.dtype, name="mid_block",
         )(x, emb, context, f)
 
@@ -576,7 +590,7 @@ class I2VGenXLUNet(nn.Module):
                     heads=cfg.heads_for(out_ch), dim_head=cfg.attention_head_dim,
                     cross_attention_dim=cfg.cross_attention_dim,
                     norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
-                    temporal_window=cfg.temporal_window,
+                    temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
                     block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
                 )(x, res, emb, context, f, upsample_size, pnp, freeu)
 

@@ -146,7 +146,7 @@ def inject_spatial_qk(
     B = pnp.num_branches
     bf, hw, c = q.shape
     f = bf // B
-    mask = pnp.mask_at(h, w).reshape(n, 1, f, hw, 1)  # [N,1,F,hw,1]
+    mask = pnp.mask_at(h, w).astype(q.dtype).reshape(n, 1, f, hw, 1)  # [N,1,F,hw,1]
 
     def edit(x):
         xb = x.reshape(B, f, hw, c)
@@ -173,7 +173,7 @@ def inject_temporal_qk(
     bhw, f, c = q.shape
     hw = bhw // B
     # [N, F, h, w] -> [N, 1, hw, F, 1]: pixel rows gate rows, frame gates cols.
-    mask = pnp.mask_at(h, w, soft=True).transpose(0, 2, 3, 1).reshape(n, 1, hw, f, 1)
+    mask = pnp.mask_at(h, w, soft=True).astype(q.dtype).transpose(0, 2, 3, 1).reshape(n, 1, hw, f, 1)
 
     def edit(x):
         xb = x.reshape(B, hw, f, c)
@@ -195,7 +195,7 @@ def inject_conv_features(x: jax.Array, pnp: PnPState, h: int, w: int) -> jax.Arr
     B = pnp.num_branches
     bf, hh, ww, c = x.shape
     f = bf // B
-    mask = pnp.mask_at(h, w).reshape(n, 1, f, hh, ww, 1)
+    mask = pnp.mask_at(h, w).astype(x.dtype).reshape(n, 1, f, hh, ww, 1)
 
     xb = x.reshape(B, f, hh, ww, c)
     inj = _composite(xb[0:1], xb[1 : n + 1][:, None], mask)

@@ -201,3 +201,57 @@ def sample_latents(mean: jax.Array, logvar: jax.Array, key: jax.Array) -> jax.Ar
     """DiagonalGaussianDistribution.sample with an explicit PRNG key."""
     std = jnp.exp(0.5 * logvar)
     return mean + std * jax.random.normal(key, mean.shape, dtype=mean.dtype)
+
+
+def tiled_decode(
+    decode_fn,
+    z: "jax.Array",
+    tile_latent: int = 64,
+    overlap_latent: int = 8,
+):
+    """Spatially tiled VAE decode with linear seam blending.
+
+    Parity for the reference's `enable_vae_tiling` memory knob
+    (pipeline_i2vgen_xl.py:520-550): decode overlapping latent tiles and
+    blend the overlaps so a 720p+ video decodes within a bounded activation
+    footprint.  `decode_fn(z_tile) -> rgb_tile` (already scaled latents).
+    """
+    import numpy as np
+
+    b, h, w, c = z.shape
+    if h <= tile_latent and w <= tile_latent:
+        return decode_fn(z)
+    stride = tile_latent - overlap_latent
+    ys = list(range(0, max(h - overlap_latent, 1), stride))
+    xs = list(range(0, max(w - overlap_latent, 1), stride))
+    # clamp last tiles to the edge
+    ys = sorted({min(y, max(h - tile_latent, 0)) for y in ys})
+    xs = sorted({min(x, max(w - tile_latent, 0)) for x in xs})
+
+    probe = decode_fn(z[:, : min(tile_latent, h), : min(tile_latent, w)])
+    scale = probe.shape[1] // min(tile_latent, h)
+    H, W = h * scale, w * scale
+    out = jnp.zeros((b, H, W, probe.shape[-1]), dtype=jnp.float32)
+    weight = jnp.zeros((1, H, W, 1), dtype=jnp.float32)
+
+    def ramp(n, lo_blend, hi_blend):
+        wgt = np.ones(n, np.float32)
+        k = overlap_latent * scale
+        if lo_blend and k > 0:
+            wgt[:k] = np.linspace(0.0, 1.0, k, endpoint=False) + 0.5 / k
+        if hi_blend and k > 0:
+            wgt[-k:] = wgt[-k:] * (np.linspace(1.0, 0.0, k, endpoint=False) + 0.5 / k)
+        return wgt
+
+    for yi, y in enumerate(ys):
+        for xi, x in enumerate(xs):
+            th = min(tile_latent, h - y)
+            tw = min(tile_latent, w - x)
+            tile = decode_fn(z[:, y : y + th, x : x + tw]).astype(jnp.float32)
+            wy = ramp(th * scale, y > 0, y + th < h)
+            wx = ramp(tw * scale, x > 0, x + tw < w)
+            wgt = jnp.asarray(np.outer(wy, wx))[None, :, :, None]
+            Y, X = y * scale, x * scale
+            out = out.at[:, Y : Y + th * scale, X : X + tw * scale].add(tile * wgt)
+            weight = weight.at[:, Y : Y + th * scale, X : X + tw * scale].add(wgt)
+    return (out / jnp.maximum(weight, 1e-8)).astype(probe.dtype)

@@ -81,3 +81,30 @@ def test_clip_vision_projection_shape(rng):
     emb = model.apply(params, px)
     assert emb.shape == (2, cfg.projection_dim)
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_tiled_decode_matches_full(rng):
+    """Tiled VAE decode must equal the full decode away from seams and stay
+    close at blended seams (conv receptive field causes tiny edge drift)."""
+    from mvoc_tpu.models.vae import AutoencoderKL, VAEConfig, tiled_decode
+
+    cfg = VAEConfig.tiny()
+    model = AutoencoderKL(cfg)
+    z = jnp.asarray(rng.standard_normal((1, 16, 24, 4), dtype=np.float32))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+
+    def dec(zt):
+        return model.apply(params, zt, method=AutoencoderKL.decode)
+
+    full = np.asarray(dec(z))
+    tiled = np.asarray(tiled_decode(dec, z, tile_latent=12, overlap_latent=4))
+    assert tiled.shape == full.shape
+    # tiles see different global GroupNorm/mid-attention statistics, so
+    # outputs differ by design (diffusers tiled VAE behaves the same);
+    # require strong structural agreement, not equality
+    corr = np.corrcoef(tiled.ravel(), full.ravel())[0, 1]
+    assert corr > 0.9, corr
+    assert np.isfinite(tiled).all()
+    # degenerate case: one tile covering everything IS the full decode
+    one = np.asarray(tiled_decode(dec, z, tile_latent=24, overlap_latent=4))
+    np.testing.assert_allclose(one, full, atol=1e-5)

@@ -136,25 +136,45 @@ def sdpa(
     b, sq, inner = q.shape
     sk = k.shape[1]
     d = inner // heads
-    q = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
-    k = k.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
-    v = v.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
 
     from mvoc_tpu.ops import attention as flash
 
     if mask is None and flash.use_flash(sq, sk, d):
-        out = flash.flash_attention(q, k, v)
+        qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+        out = flash.flash_attention(qh, kh, vh)
         return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
 
-    scale = 1.0 / math.sqrt(d)
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    if mask is not None:
-        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-    return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+    # Short-sequence path (temporal seq=16, cross-attn 145 tokens).  The
+    # tiny trailing dims pad badly on TPU (minor dim tiles to 128: a
+    # [72000,5,16,16] fp32 logits buffer pads 8x to 2.75 GB), so huge row
+    # counts are processed in chunks — sequential in the HLO schedule, one
+    # padded buffer live at a time.
+    ROW_CHUNK = 8192
+
+    def attend(qc, kc, vc):
+        bc = qc.shape[0]
+        qh = qc.reshape(bc, sq, heads, d).transpose(0, 2, 1, 3)
+        kh = kc.reshape(bc, sk, heads, d).transpose(0, 2, 1, 3)
+        vh = vc.reshape(bc, sk, heads, d).transpose(0, 2, 1, 3)
+        scale = 1.0 / math.sqrt(d)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(vc.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        return out.transpose(0, 2, 1, 3).reshape(bc, sq, inner)
+
+    if b <= ROW_CHUNK:
+        return attend(q, k, v)
+    outs = [
+        attend(q[i : i + ROW_CHUNK], k[i : i + ROW_CHUNK], v[i : i + ROW_CHUNK])
+        for i in range(0, b, ROW_CHUNK)
+    ]
+    return jnp.concatenate(outs, axis=0)
 
 
 class Attention(nn.Module):

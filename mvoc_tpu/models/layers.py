@@ -84,15 +84,25 @@ class GroupNorm(nn.Module):
         assert c % g == 0, f"channels {c} not divisible by groups {g}"
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        shape = x.shape
-        xg = x.astype(jnp.float32).reshape(shape[0], -1, g, c // g)
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        var = jnp.var(xg, axis=(1, 3), keepdims=True)
-        # normalize in fp32 (fused into one kernel), but apply the affine in
-        # the input dtype so no full-size fp32 temp survives — torch fp16
-        # GroupNorm behaves the same way.
-        xn = ((xg - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(orig_dtype)
-        xn = xn.reshape(shape)
+        b = x.shape[0]
+        spatial_axes = tuple(range(1, x.ndim - 1))
+
+        # Group statistics via per-channel moments — NO group reshape of the
+        # full tensor (the [B, spatial, G, C/G] view forces XLA into a
+        # materialized fp32 layout copy: 4.7 GB at 720p latents).  Only
+        # [B, C]-sized fp32 arrays exist; the elementwise normalize+affine
+        # chain fuses with bf16 in/out.
+        xf = x.astype(jnp.float32)
+        mean_c = jnp.mean(xf, axis=spatial_axes)          # [B, C]
+        ex2_c = jnp.mean(xf * xf, axis=spatial_axes)      # [B, C]
+        mean_g = mean_c.reshape(b, g, c // g).mean(axis=-1)
+        ex2_g = ex2_c.reshape(b, g, c // g).mean(axis=-1)
+        var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+        inv_g = jax.lax.rsqrt(var_g + self.epsilon)
+        mean_ch = jnp.repeat(mean_g, c // g, axis=-1)     # [B, C]
+        inv_ch = jnp.repeat(inv_g, c // g, axis=-1)
+        bshape = (b,) + (1,) * len(spatial_axes) + (c,)
+        xn = ((xf - mean_ch.reshape(bshape)) * inv_ch.reshape(bshape)).astype(orig_dtype)
         return xn * scale.astype(orig_dtype) + bias.astype(orig_dtype)
 
 

@@ -161,7 +161,7 @@ def sdpa(
     # [72000,5,16,16] fp32 logits buffer pads 8x to 2.75 GB), so huge row
     # counts are processed in chunks — sequential in the HLO schedule, one
     # padded buffer live at a time.
-    ROW_CHUNK = 8192
+    ROW_CHUNK = 4096
 
     def attend(qc, kc, vc):
         bc = qc.shape[0]

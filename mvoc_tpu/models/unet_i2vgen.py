@@ -76,9 +76,9 @@ class UNetConfig:
     # attend within +-window/2); None = full attention (reference behavior)
     temporal_window: Optional[int] = None
     # memory: bound transformer FF GEGLU intermediates (rows per chunk on
-    # the flattened token axis); 0 disables. 65536 rows * 2*inner(2560)
-    # bf16 = 336 MB peak at the widest block — fits 720p on one 16 GB chip.
-    ff_chunk_rows: int = 65536
+    # the flattened token axis); 0 disables. 32768 rows * 2*inner(2560)
+    # bf16 = 168 MB peak at the widest block — fits 720p on one 16 GB chip.
+    ff_chunk_rows: int = 32768
 
     @property
     def time_embed_dim(self) -> int:

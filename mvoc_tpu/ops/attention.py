@@ -78,6 +78,18 @@ def _pad_to(x: jax.Array, size: int, axis: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
+def _pick_block(seq: int, target: int, multiple: int = 16) -> int:
+    """Largest divisor of `seq` that is <= target and a multiple of
+    `multiple` (TPU sublane tiling) — avoids materializing padded copies of
+    multi-GB q/k/v tensors when the sequence doesn't divide a power of two
+    (720p latents: h*w = 14400).  Falls back to `target` (with padding)."""
+    best = 0
+    for cand in range(multiple, target + 1, multiple):
+        if seq % cand == 0:
+            best = cand
+    return best or target
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
@@ -85,12 +97,14 @@ def flash_attention(
     q: jax.Array,  # [B, H, Sq, D]
     k: jax.Array,  # [B, H, Sk, D]
     v: jax.Array,  # [B, H, Sk, D]
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 0,   # 0 = auto (divisor of Sq)
+    block_k: int = 0,   # 0 = auto (divisor of Sk)
     interpret: bool = False,
 ) -> jax.Array:
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    block_q = block_q or _pick_block(sq, 512)
+    block_k = block_k or _pick_block(sk, 1024)
     scale = 1.0 / math.sqrt(d)
 
     qf = _pad_to(q.reshape(b * h, sq, d), block_q, axis=1)

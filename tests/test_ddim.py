@@ -154,3 +154,24 @@ def test_roundtrip_convergence_with_state_dependent_eps(rng):
         errs[n] = float(jnp.linalg.norm(x - x0) / jnp.linalg.norm(x0))
     assert errs[10] < 0.2
     assert errs[50] < errs[10] / 2
+
+
+def test_eta_sampling_reduces_to_ddim_at_zero(rng):
+    """eta=0 with noise supplied must equal the deterministic step; eta>0
+    adds the DDPM-style variance term (reference passes eta through
+    prepare_extra_step_kwargs, pipeline_i2vgen_xl.py:794-809)."""
+    import jax
+    import jax.numpy as jnp
+    from mvoc_tpu.ops.ddim import DDIM, SchedulerConfig
+
+    ddim = DDIM(SchedulerConfig())
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 4), dtype=np.float32))
+    eps = jnp.asarray(rng.standard_normal((2, 4, 4, 4), dtype=np.float32))
+    noise = jnp.asarray(rng.standard_normal((2, 4, 4, 4), dtype=np.float32))
+    det = ddim.step(eps, 501, x, 10)
+    det2 = ddim.step(eps, 501, x, 10, eta=0.0)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+    sto = ddim.step(eps, 501, x, 10, eta=1.0, noise=noise)
+    assert np.abs(np.asarray(sto) - np.asarray(det)).max() > 1e-3
+    with pytest.raises(ValueError):
+        ddim.step(eps, 501, x, 10, eta=0.5)  # noise required

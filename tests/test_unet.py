@@ -102,3 +102,23 @@ def test_odd_resolution_forward(unet):
     )
     assert out.shape == (1, F, h, w, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_multi_frame_guidance_changes_output(unet):
+    """multi_frame_guidance=True uses per-frame CLIP embeds + per-frame
+    image-latent context tokens (reference: pipeline_i2vgen_xl.py:150-151,
+    211-212, hardcoded False at the composite call site :1697)."""
+    cfg, model, params, inputs, out_plain = unet
+    out_mfg = np.asarray(model.apply(params, **inputs, multi_frame_guidance=True))
+    assert out_mfg.shape == out_plain.shape
+    # per-frame conditioning differs from broadcast-frame-0 conditioning
+    assert np.abs(out_mfg - out_plain).max() > 1e-5
+    # ... unless every frame's conditioning equals frame 0's
+    same = dict(inputs)
+    same["image_embeddings"] = jnp.broadcast_to(
+        inputs["image_embeddings"][:, :1], inputs["image_embeddings"].shape)
+    same["image_latents"] = jnp.broadcast_to(
+        inputs["image_latents"][:, :1], inputs["image_latents"].shape)
+    a = np.asarray(model.apply(params, **same, multi_frame_guidance=True))
+    b = np.asarray(model.apply(params, **same, multi_frame_guidance=False))
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -95,6 +95,9 @@ def run_entry(pipe, config) -> None:
         obj_random_noise_fusion=config.get("obj_random_noise_fusion", False),
         random_noise_ratio=config.get("random_noise_ratio", 0.0),
         inject_background=config.get("inject_background", True),
+        # mvoc_tpu extension (not in the reference): training-free encoder
+        # reuse; 1 = exact reference semantics
+        encoder_reuse_interval=config.get("encoder_reuse_interval", 1),
         pnp_f_t=config.pnp_f_t,
         pnp_spatial_attn_t=config.pnp_spatial_attn_t,
         pnp_temp_attn_t=config.pnp_temp_attn_t,

@@ -456,7 +456,16 @@ class I2VGenXLUNet(nn.Module):
         pnp: Optional[pnp_lib.PnPState] = None,
         multi_frame_guidance: bool = False,
         freeu: Optional[FreeUConfig] = None,
+        cached_encoder: Optional[tuple] = None,
+        return_encoder: bool = False,
     ) -> jax.Array:
+        """cached_encoder / return_encoder implement training-free encoder
+        reuse (arXiv 2312.09608 'Faster Diffusion'): UNet down+mid features
+        drift slowly across adjacent denoising steps, so a sampler may reuse
+        a cached (mid_features, skip_stack) tuple for several steps and only
+        run the up blocks — MVOC's PnP injection sites all live in the up
+        blocks, so injection fidelity is unaffected.  Defaults preserve the
+        exact reference semantics."""
         cfg = self.config
         b, f, h, w, c_in = sample.shape
         ch0 = cfg.block_out_channels[0]
@@ -523,51 +532,56 @@ class I2VGenXLUNet(nn.Module):
         )(ilf)
         ilf = ilf.reshape(b, h, w, f, c_in).transpose(0, 3, 1, 2, 4).reshape(b * f, h, w, c_in)
 
-        # 5. pre-process: channel concat + conv_in + transformer_in
-        x = sample.reshape(b * f, h, w, c_in).astype(self.dtype)
-        x = jnp.concatenate([x, ilf], axis=-1)
-        x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
-        x = TransformerTemporalModel(
-            ch0, cfg.transformer_in_heads, cfg.attention_head_dim,
-            norm_num_groups=cfg.norm_num_groups, window=cfg.temporal_window,
-            ff_chunk_rows=cfg.ff_chunk_rows,
-            dtype=self.dtype, name="transformer_in",
-        )(x, f)
-
-        # 6. down blocks
         n_blocks = len(cfg.block_out_channels)
-        res_stack = [x]
-        for i in range(n_blocks):
-            out_ch = cfg.block_out_channels[i]
-            is_final = i == n_blocks - 1
-            if not is_final:  # CrossAttnDownBlock3D
-                x, res = CrossAttnDownBlock3D(
-                    out_channels=out_ch, num_layers=cfg.layers_per_block,
-                    add_downsample=True, heads=cfg.heads_for(out_ch),
-                    dim_head=cfg.attention_head_dim,
-                    cross_attention_dim=cfg.cross_attention_dim,
-                    norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
-                    temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
-                    dtype=self.dtype, name=f"down_blocks_{i}",
-                )(x, emb, context, f)
-            else:  # DownBlock3D
-                x, res = DownBlock3D(
-                    out_channels=out_ch, num_layers=cfg.layers_per_block,
-                    add_downsample=False, norm_num_groups=cfg.norm_num_groups,
-                    norm_eps=cfg.norm_eps, dtype=self.dtype, name=f"down_blocks_{i}",
-                )(x, emb, f)
-            res_stack.extend(res)
+        if cached_encoder is None:
+            # 5. pre-process: channel concat + conv_in + transformer_in
+            x = sample.reshape(b * f, h, w, c_in).astype(self.dtype)
+            x = jnp.concatenate([x, ilf], axis=-1)
+            x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+            x = TransformerTemporalModel(
+                ch0, cfg.transformer_in_heads, cfg.attention_head_dim,
+                norm_num_groups=cfg.norm_num_groups, window=cfg.temporal_window,
+                ff_chunk_rows=cfg.ff_chunk_rows,
+                dtype=self.dtype, name="transformer_in",
+            )(x, f)
 
-        # 7. mid block
-        x = UNetMidBlock3DCrossAttn(
-            channels=cfg.block_out_channels[-1],
-            heads=cfg.heads_for(cfg.block_out_channels[-1]),
-            dim_head=cfg.attention_head_dim,
-            cross_attention_dim=cfg.cross_attention_dim,
-            norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
-            temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
-            dtype=self.dtype, name="mid_block",
-        )(x, emb, context, f)
+            # 6. down blocks
+            res_stack = [x]
+            for i in range(n_blocks):
+                out_ch = cfg.block_out_channels[i]
+                is_final = i == n_blocks - 1
+                if not is_final:  # CrossAttnDownBlock3D
+                    x, res = CrossAttnDownBlock3D(
+                        out_channels=out_ch, num_layers=cfg.layers_per_block,
+                        add_downsample=True, heads=cfg.heads_for(out_ch),
+                        dim_head=cfg.attention_head_dim,
+                        cross_attention_dim=cfg.cross_attention_dim,
+                        norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
+                        temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
+                        dtype=self.dtype, name=f"down_blocks_{i}",
+                    )(x, emb, context, f)
+                else:  # DownBlock3D
+                    x, res = DownBlock3D(
+                        out_channels=out_ch, num_layers=cfg.layers_per_block,
+                        add_downsample=False, norm_num_groups=cfg.norm_num_groups,
+                        norm_eps=cfg.norm_eps, dtype=self.dtype, name=f"down_blocks_{i}",
+                    )(x, emb, f)
+                res_stack.extend(res)
+
+            # 7. mid block
+            x = UNetMidBlock3DCrossAttn(
+                channels=cfg.block_out_channels[-1],
+                heads=cfg.heads_for(cfg.block_out_channels[-1]),
+                dim_head=cfg.attention_head_dim,
+                cross_attention_dim=cfg.cross_attention_dim,
+                norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
+                temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
+                dtype=self.dtype, name="mid_block",
+            )(x, emb, context, f)
+        else:
+            x, res_stack = cached_encoder
+            res_stack = list(res_stack)
+        encoder_features = (x, tuple(res_stack))
 
         # 8. up blocks (3 resnets each)
         rev = tuple(reversed(cfg.block_out_channels))
@@ -600,4 +614,7 @@ class I2VGenXLUNet(nn.Module):
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         if pnp is not None:
             x = pnp_lib.inject_conv_features(x, pnp, x.shape[1], x.shape[2])
-        return x.reshape(b, f, h, w, cfg.out_channels)
+        out = x.reshape(b, f, h, w, cfg.out_channels)
+        if return_encoder:
+            return out, encoder_features
+        return out

@@ -200,6 +200,8 @@ def pnp_composite_core(
     random_noise_ratio: float = 0.0,
     obj_random_noise_fusion: bool = False,
     inject_background: bool = True,
+    encoder_reuse_interval: int = 1,
+    init_encoder_cache=None,
 ) -> jax.Array:
     """The MVOC composite sampler as one scan (reference:
     pipeline_i2vgen_xl.py:1635-1734 + pnp_utils injection sites).
@@ -207,12 +209,25 @@ def pnp_composite_core(
     Branch layout [bg, obj_1..obj_N, uncond, cond]; source branches are fed
     their inverted latents at the current t every step; PnP injection and
     noise fusion are pure gated ops.
+
+    encoder_reuse_interval > 1 enables training-free encoder reuse
+    (arXiv 2312.09608): the UNet down+mid features are recomputed only every
+    k-th step and reused in between (PnP injection lives in the up blocks,
+    so it stays exact w.r.t. the reused features).  `init_encoder_cache`
+    must be a zero pytree with the encoder-feature structure (see
+    I2VGenXLPipeline._encoder_cache_zeros).
     """
     n_obj = masks_soft.shape[0]
     mask_b = masks_soft[..., None]  # [N, F, h, w, 1]
+    reuse = encoder_reuse_interval > 1
 
-    def body(latents, xs):
-        (t, bg_lat, obj_lat, g_sp, g_tmp, g_conv, fuse) = xs
+    def body(carry, xs):
+        if reuse:
+            latents, cache = carry
+            (i, t, bg_lat, obj_lat, g_sp, g_tmp, g_conv, fuse) = xs
+        else:
+            latents = carry
+            (t, bg_lat, obj_lat, g_sp, g_tmp, g_conv, fuse) = xs
 
         # --- noise fusion (reference: pipeline_i2vgen_xl.py:1639-1665) ---
         def fused(lat):
@@ -249,8 +264,7 @@ def pnp_composite_core(
             inject_background=inject_background,
         )
 
-        eps = unet_apply(
-            unet_params,
+        kwargs = dict(
             sample=inp,
             timestep=t,
             fps=cond.fps,
@@ -260,11 +274,28 @@ def pnp_composite_core(
             encoder_hidden_states=cond.encoder_hidden_states,
             pnp=pnp_state,
         )
+        if reuse:
+            fresh = (i % encoder_reuse_interval) == 0
+
+            def run_fresh(cache_in):
+                eps, new_cache = unet_apply(
+                    unet_params, **kwargs, return_encoder=True)
+                return eps, new_cache
+
+            def run_cached(cache_in):
+                eps = unet_apply(unet_params, **kwargs, cached_encoder=cache_in)
+                return eps, cache_in
+
+            eps, cache = jax.lax.cond(fresh, run_fresh, run_cached, cache)
+        else:
+            eps = unet_apply(unet_params, **kwargs)
 
         # CFG over the last two chunks (reference :1713-1717)
         eps_neg, eps_pos = eps[n_obj + 1], eps[n_obj + 2]
         eps_g = eps_neg + guidance_scale * (eps_pos - eps_neg)
         nxt = ddim.step(eps_g, t, latents, num_inference_steps)
+        if reuse:
+            return (nxt, cache), None
         return nxt, None
 
     xs = (
@@ -276,5 +307,11 @@ def pnp_composite_core(
         sched.gate_conv,
         sched.fusion_mask,
     )
+    if reuse:
+        assert init_encoder_cache is not None, "encoder reuse needs a zero cache"
+        n_run = sched.timesteps.shape[0]
+        xs = (jnp.arange(n_run),) + xs
+        (final, _), _ = jax.lax.scan(body, (init_latents, init_encoder_cache), xs)
+        return final
     final, _ = jax.lax.scan(body, init_latents, xs)
     return final

@@ -451,6 +451,7 @@ class I2VGenXLPipeline:
         obj_random_noise_fusion: bool = False,
         random_noise_ratio: float = 0.0,
         inject_background: bool = True,
+        encoder_reuse_interval: int = 1,
         pnp_f_t: float = 0.8,
         pnp_spatial_attn_t: float = 0.8,
         pnp_temp_attn_t: float = 0.8,
@@ -564,6 +565,12 @@ class I2VGenXLPipeline:
 
         init_latents = self.prepare_latents(num_frames, height, width, k_lat)
 
+        init_cache = None
+        if encoder_reuse_interval > 1:
+            init_cache = self._encoder_cache_zeros(
+                n_obj + 3, num_frames,
+                height // self.vae_scale_factor, width // self.vae_scale_factor)
+
         composite_fn = jax.jit(
             lambda p, lat, c, s, ms: core.pnp_composite_core(
                 self._unet_apply, self.ddim, p, lat, c, s, ms,
@@ -573,6 +580,8 @@ class I2VGenXLPipeline:
                 random_noise_ratio=float(random_noise_ratio),
                 obj_random_noise_fusion=obj_random_noise_fusion,
                 inject_background=inject_background,
+                encoder_reuse_interval=int(encoder_reuse_interval),
+                init_encoder_cache=init_cache,
             )
         )
         final = composite_fn(
@@ -582,6 +591,29 @@ class I2VGenXLPipeline:
         if not decode:
             return final
         return self.decode_latents(final, decode_chunk_size=None)
+
+    def _encoder_cache_zeros(self, n_branches: int, num_frames: int,
+                             h_lat: int, w_lat: int):
+        """Zero pytree matching the UNet's encoder-feature structure, used
+        as the scan-carry seed for encoder reuse (step 0 always recomputes)."""
+        d = self.unet.config.cross_attention_dim
+
+        def fn():
+            z = jnp.zeros((n_branches, num_frames, h_lat, w_lat,
+                           self.unet.config.in_channels), self.dtype)
+            _, cache = self.unet.apply(
+                self.params["unet"],
+                sample=z, timestep=jnp.zeros((), jnp.int32),
+                fps=jnp.zeros((), jnp.int32),
+                image_latents_first=z, image_latents=z,
+                image_embeddings=jnp.zeros((n_branches, num_frames, d), self.dtype),
+                encoder_hidden_states=jnp.zeros((n_branches, 77, d), self.dtype),
+                return_encoder=True,
+            )
+            return cache
+
+        shapes = jax.eval_shape(fn)
+        return jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes)
 
     def _injection_resolutions(self, h_lat: int, w_lat: int) -> list[tuple[int, int]]:
         """Spatial sizes at which injection sites run: up_blocks[1] at 1/4,

@@ -256,3 +256,85 @@ def test_native_trajectory_codec_roundtrip(tmp_path, rng):
     assert np.isinf(got[1][0, 0, 0, 1])
     with pytest.raises(KeyError):
         store2.load_at_t(999)
+
+
+def test_encoder_reuse(pipe, cond1):
+    """(a) UNet: reusing the encoder cache from identical inputs is exact.
+    (b) composite scan with encoder_reuse_interval=2 runs and stays close to
+    the exact result (features drift slowly by construction of the test:
+    identical conditioning, small step count)."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, F, LAT, LAT, 4), dtype=np.float32))
+    kwargs = dict(
+        sample=x, timestep=jnp.asarray(501), fps=cond1.fps,
+        image_latents_first=cond1.image_latents_first,
+        image_latents=cond1.image_latents,
+        image_embeddings=cond1.image_embeddings,
+        encoder_hidden_states=cond1.encoder_hidden_states,
+    )
+    eps_full, cache = pipe.unet.apply(pipe.params["unet"], **kwargs, return_encoder=True)
+    eps_cached = pipe.unet.apply(pipe.params["unet"], **kwargs, cached_encoder=cache)
+    np.testing.assert_allclose(np.asarray(eps_cached), np.asarray(eps_full), atol=1e-6)
+
+    # (b) full composite scan with reuse enabled
+    from mvoc_tpu import pnp as pnp_lib
+
+    n_obj = 1
+    ddim = DDIM(SchedulerConfig())
+    run_ts = sampling_timesteps(SchedulerConfig(), N_STEPS)[:4]
+    S = len(run_ts)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s, dtype=np.float32))
+
+    condN = core.UNetConditioning(
+        encoder_hidden_states=mk(n_obj + 3, 7, 16),
+        image_latents_first=mk(n_obj + 3, F, LAT, LAT, 4),
+        image_latents=mk(n_obj + 3, F, LAT, LAT, 4),
+        image_embeddings=mk(n_obj + 3, F, 16),
+        fps=jnp.asarray([8] * (n_obj + 3)),
+    )
+    masks_soft = np.zeros((n_obj, F, LAT, LAT), np.float32)
+    masks_soft[:, :, : LAT // 2] = 1.0
+    res = [(LAT, LAT), (LAT // 2, LAT // 2), (LAT // 4, LAT // 4)]
+    pyr = {k: jnp.asarray(v) for k, v in pnp_lib.build_mask_pyramid(masks_soft, res).items()}
+    on = jnp.ones((S,), bool)
+    sched = core.CompositeSchedule(
+        bg_traj=mk(S, F, LAT, LAT, 4), obj_traj=mk(S, n_obj, F, LAT, LAT, 4),
+        obj_fusion_lat=mk(n_obj, F, LAT, LAT, 4),
+        gate_spatial=on, gate_temporal=on, gate_conv=on,
+        fusion_mask=jnp.zeros((S,), bool), timesteps=jnp.asarray(run_ts),
+    )
+    xT = mk(F, LAT, LAT, 4)
+
+    def run(interval, cache):
+        return np.asarray(core.pnp_composite_core(
+            pipe._unet_apply, ddim, pipe.params["unet"], xT, condN, sched,
+            jnp.asarray(masks_soft), pyr, pyr,
+            num_inference_steps=N_STEPS, guidance_scale=3.0,
+            encoder_reuse_interval=interval, init_encoder_cache=cache,
+        ))
+
+    exact = run(1, None)
+
+    def cache_fn():
+        z = jnp.zeros((n_obj + 3, F, LAT, LAT, 4))
+        _, c = pipe.unet.apply(
+            pipe.params["unet"], sample=z, timestep=jnp.zeros((), jnp.int32),
+            fps=condN.fps, image_latents_first=condN.image_latents_first,
+            image_latents=condN.image_latents,
+            image_embeddings=condN.image_embeddings,
+            encoder_hidden_states=condN.encoder_hidden_states,
+            return_encoder=True)
+        return c
+
+    shapes = jax.eval_shape(cache_fn)
+    cache0 = jax.tree.map(lambda c: jnp.zeros(c.shape, c.dtype), shapes)
+    approx = run(2, cache0)
+    assert approx.shape == exact.shape
+    assert np.isfinite(approx).all()
+    # the approximation must differ (it skips encoder steps) but remain
+    # strongly correlated with the exact chain
+    assert np.abs(approx - exact).max() > 1e-6
+    corr = np.corrcoef(approx.ravel(), exact.ravel())[0, 1]
+    assert corr > 0.8, corr

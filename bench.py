@@ -88,44 +88,62 @@ def build(preset: str):
     pyr = {k: jnp.asarray(v) for k, v in pnp_lib.build_mask_pyramid(masks, res).items()}
     ddim = DDIM(SchedulerConfig())
 
-    @jax.jit
-    def step(params, sample, latents):
-        pnp_state = pnp_lib.PnPState(
-            masks=pyr, masks_soft=pyr,
-            gate_spatial=jnp.asarray(True),
-            gate_temporal=jnp.asarray(True),
-            gate_conv=jnp.asarray(True),
-        )
-        eps = model.apply(params, **{**inputs, "sample": sample}, pnp=pnp_state)
-        eps_g = eps[3] + 9.0 * (eps[4] - eps[3])
-        new_latents = ddim.step(eps_g, inputs["timestep"][0], latents, 50)
-        new_sample = jnp.concatenate(
-            [sample[: n_obj + 1], new_latents[None].astype(dtype),
-             new_latents[None].astype(dtype)], axis=0)
-        return new_sample, new_latents
+    def make_step(cached: bool):
+        def step(params, sample, latents, cache):
+            pnp_state = pnp_lib.PnPState(
+                masks=pyr, masks_soft=pyr,
+                gate_spatial=jnp.asarray(True),
+                gate_temporal=jnp.asarray(True),
+                gate_conv=jnp.asarray(True),
+            )
+            kw = {**inputs, "sample": sample}
+            if cached:
+                eps = model.apply(params, **kw, pnp=pnp_state, cached_encoder=cache)
+                new_cache = cache
+            else:
+                eps, new_cache = model.apply(params, **kw, pnp=pnp_state,
+                                             return_encoder=True)
+            eps_g = eps[3] + 9.0 * (eps[4] - eps[3])
+            new_latents = ddim.step(eps_g, inputs["timestep"][0], latents, 50)
+            new_sample = jnp.concatenate(
+                [sample[: n_obj + 1], new_latents[None].astype(dtype),
+                 new_latents[None].astype(dtype)], axis=0)
+            return new_sample, new_latents, new_cache
+        return jax.jit(step)
 
     latents = inputs["sample"][0].astype(jnp.float32)
-    return step, params, inputs["sample"], latents
+    return make_step, params, inputs["sample"], latents
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", choices=["smoke", "full", "full720"], default="full")
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--reuse", type=int, default=1,
+                    help="encoder-reuse interval (1 = exact; k>1 recomputes "
+                    "the UNet encoder every k-th step)")
     args = ap.parse_args()
 
     import jax
 
     iters = args.iters or (10 if args.preset.startswith("full") else 2)
-    step, params, sample, latents = build(args.preset)
+    make_step, params, sample, latents = build(args.preset)
+    fresh_step = make_step(cached=False)
+    cached_step = make_step(cached=True) if args.reuse > 1 else None
 
     # warmup / compile
-    s, l = step(params, sample, latents)
+    s, l, c = fresh_step(params, sample, latents, None)
     jax.block_until_ready((s, l))
+    if cached_step is not None:
+        s2, l2, _ = cached_step(params, s, l, c)
+        jax.block_until_ready((s2, l2))
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        s, l = step(params, s, l)
+    for i in range(iters):
+        if cached_step is not None and i % args.reuse != 0:
+            s, l, c = cached_step(params, s, l, c)
+        else:
+            s, l, c = fresh_step(params, s, l, c)
     jax.block_until_ready((s, l))
     dt = time.perf_counter() - t0
 
@@ -135,7 +153,7 @@ def main():
             "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
             "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
             "smoke": "composite_denoise_steps_per_sec_smoke",
-        }[args.preset],
+        }[args.preset] + (f"_reuse{args.reuse}" if args.reuse > 1 else ""),
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3)

@@ -89,7 +89,7 @@ def build(preset: str):
     ddim = DDIM(SchedulerConfig())
 
     def make_step(cached: bool):
-        def step(params, sample, latents, cache):
+        def step(params, sample, latents, cache=None):
             pnp_state = pnp_lib.PnPState(
                 masks=pyr, masks_soft=pyr,
                 gate_spatial=jnp.asarray(True),
@@ -109,7 +109,12 @@ def build(preset: str):
                 [sample[: n_obj + 1], new_latents[None].astype(dtype),
                  new_latents[None].astype(dtype)], axis=0)
             return new_sample, new_latents, new_cache
-        return jax.jit(step)
+        if cached:
+            return jax.jit(step)
+        # the fresh variant must not take the cache as a traced arg (its
+        # structure changes None->arrays between warmup and loop, forcing a
+        # recompile inside the timed region)
+        return jax.jit(lambda params, sample, latents: step(params, sample, latents))
 
     latents = inputs["sample"][0].astype(jnp.float32)
     return make_step, params, inputs["sample"], latents
@@ -132,7 +137,7 @@ def main():
     cached_step = make_step(cached=True) if args.reuse > 1 else None
 
     # warmup / compile
-    s, l, c = fresh_step(params, sample, latents, None)
+    s, l, c = fresh_step(params, sample, latents)
     jax.block_until_ready((s, l))
     if cached_step is not None:
         s2, l2, _ = cached_step(params, s, l, c)
@@ -143,7 +148,7 @@ def main():
         if cached_step is not None and i % args.reuse != 0:
             s, l, c = cached_step(params, s, l, c)
         else:
-            s, l, c = fresh_step(params, s, l, c)
+            s, l, c = fresh_step(params, s, l)
     jax.block_until_ready((s, l))
     dt = time.perf_counter() - t0
 

@@ -72,6 +72,8 @@ def run_entry(pipe, config) -> None:
             guidance_scale=inv.cfg,
             seed=config.get("seed", 8888),
             output_dir=out_dir,
+            # mvoc_tpu extension (not in the reference): 1 = exact
+            encoder_reuse_interval=inv.get("encoder_reuse_interval", 1),
         )
         logger.info("inversion done: %d steps -> %s", len(ts), out_dir)
 

@@ -69,18 +69,30 @@ def ddim_inversion_core(
     timesteps: jax.Array,             # [S] ascending inversion timesteps
     num_inference_steps: int,
     guidance_scale: float = 1.0,
+    encoder_reuse_interval: int = 1,
+    init_encoder_cache=None,
 ) -> jax.Array:
     """Full DDIM inversion as one scan. Returns the trajectory
     [S, F, h, w, C]: entry i = latents at timesteps[i] (ascending), exactly
     the set the reference saves per-step (pipeline_i2vgen_xl.py:1988-1996).
+
+    encoder_reuse_interval > 1: training-free encoder reuse (see
+    pnp_composite_core) — the 500-step inversion dominates end-to-end
+    wall-clock, so this is the highest-leverage acceleration knob.
     """
     do_cfg = guidance_scale > 1.0
     n_branches = 2 if do_cfg else 1
+    reuse = encoder_reuse_interval > 1
 
-    def body(latents, t):
+    def body(carry, xs):
+        if reuse:
+            latents, cache = carry
+            i, t = xs
+        else:
+            latents = carry
+            t = xs
         inp = jnp.broadcast_to(latents[None], (n_branches,) + latents.shape)
-        eps = unet_apply(
-            unet_params,
+        kwargs = dict(
             sample=inp,
             timestep=t,
             fps=cond.fps,
@@ -89,13 +101,31 @@ def ddim_inversion_core(
             image_embeddings=cond.image_embeddings,
             encoder_hidden_states=cond.encoder_hidden_states,
         )
+        if reuse:
+            fresh = (i % encoder_reuse_interval) == 0
+            eps, cache = jax.lax.cond(
+                fresh,
+                lambda c: unet_apply(unet_params, **kwargs, return_encoder=True),
+                lambda c: (unet_apply(unet_params, **kwargs, cached_encoder=c), c),
+                cache,
+            )
+        else:
+            eps = unet_apply(unet_params, **kwargs)
         if do_cfg:
             eps = eps[0] + guidance_scale * (eps[1] - eps[0])
         else:
             eps = eps[0]
         nxt = ddim.inverse_step(eps, t, latents, num_inference_steps)
+        if reuse:
+            return (nxt, cache), nxt
         return nxt, nxt
 
+    if reuse:
+        assert init_encoder_cache is not None, "encoder reuse needs a zero cache"
+        n = timesteps.shape[0]
+        (_, _), trajectory = jax.lax.scan(
+            body, (x0_latents, init_encoder_cache), (jnp.arange(n), timesteps))
+        return trajectory
     _, trajectory = jax.lax.scan(body, x0_latents, timesteps)
     return trajectory
 

@@ -289,9 +289,11 @@ class I2VGenXLPipeline:
         prompt_embeds: Optional[jax.Array] = None,
         negative_prompt_embeds: Optional[jax.Array] = None,
         latents: Optional[jax.Array] = None,
+        encoder_reuse_interval: int = 1,
     ) -> tuple[np.ndarray, np.ndarray]:
         """DDIM-invert a video. Returns (timesteps ascending, trajectory
-        [S, F, h, w, C]); writes the trajectory store when output_dir given."""
+        [S, F, h, w, C]); writes the trajectory store when output_dir given.
+        encoder_reuse_interval > 1 enables training-free encoder reuse."""
         self.check_inputs(height, width, num_frames)
         key = jax.random.key(seed)
         first_frame = first_frame or frames[0]
@@ -318,10 +320,25 @@ class I2VGenXLPipeline:
         cond = self._stack_cond(text, img_lat, img_lat, img_emb, target_fps)
 
         ts = inversion_timesteps(self.scheduler_config, num_inference_steps)
-        trajectory = self._invert_core(
-            self.params["unet"], latents.astype(jnp.float32), cond,
-            jnp.asarray(ts), num_inference_steps, float(guidance_scale),
-        )
+        if encoder_reuse_interval > 1:
+            lat_h, lat_w = latents.shape[1], latents.shape[2]
+            init_cache = self._encoder_cache_zeros(
+                cond.encoder_hidden_states.shape[0], num_frames, lat_h, lat_w)
+            invert_fn = jax.jit(
+                lambda p, x0, c, t: core.ddim_inversion_core(
+                    self._unet_apply, self.ddim, p, x0, c, t,
+                    num_inference_steps, float(guidance_scale),
+                    encoder_reuse_interval=int(encoder_reuse_interval),
+                    init_encoder_cache=init_cache,
+                )
+            )
+            trajectory = invert_fn(
+                self.params["unet"], latents.astype(jnp.float32), cond, jnp.asarray(ts))
+        else:
+            trajectory = self._invert_core(
+                self.params["unet"], latents.astype(jnp.float32), cond,
+                jnp.asarray(ts), num_inference_steps, float(guidance_scale),
+            )
         trajectory = np.asarray(trajectory)
         if output_dir is not None:
             TrajectoryStore(output_dir).save(ts, trajectory)

@@ -338,3 +338,27 @@ def test_encoder_reuse(pipe, cond1):
     assert np.abs(approx - exact).max() > 1e-6
     corr = np.corrcoef(approx.ravel(), exact.ravel())[0, 1]
     assert corr > 0.8, corr
+
+
+def test_inversion_encoder_reuse_runs(pipe, cond1):
+    """invert() with encoder_reuse_interval=2 produces a full trajectory
+    correlated with the exact one."""
+    from mvoc_tpu.utils import testing as tt2
+
+    frames = tt2.tiny_frames()
+    ts1, traj1 = pipe.invert(
+        frames, height=tt2.TINY_HW, width=tt2.TINY_HW, num_frames=F,
+        num_inference_steps=6, guidance_scale=1.0, seed=3,
+    )
+    ts2, traj2 = pipe.invert(
+        frames, height=tt2.TINY_HW, width=tt2.TINY_HW, num_frames=F,
+        num_inference_steps=6, guidance_scale=1.0, seed=3,
+        encoder_reuse_interval=2,
+    )
+    np.testing.assert_array_equal(ts1, ts2)
+    assert traj2.shape == traj1.shape
+    assert np.isfinite(traj2).all()
+    corr = np.corrcoef(traj1.ravel(), traj2.ravel())[0, 1]
+    assert corr > 0.9, corr
+    # approximation must actually differ
+    assert np.abs(traj1 - traj2).max() > 1e-6

@@ -56,6 +56,15 @@ def run_entry(pipe, config) -> None:
     has_cache = any(
         os.path.exists(os.path.join(out_dir, n)) for n in (NATIVE_NAME, STACK_NAME)
     )
+    expected_meta = dict(
+        n_steps=inv.n_steps, num_frames=config.n_frames,
+        height=image_size[1], width=image_size[0], prompt=inv.prompt,
+        seed=config.get("seed", 8888),
+    )
+    if has_cache and not TrajectoryStore(out_dir).matches_meta(expected_meta):
+        logger.warning("cached trajectory at %s was produced by a different "
+                       "config — recomputing", out_dir)
+        has_cache = False
     if has_cache and not config.get("force_recompute_latents", False):
         logger.info("skipping inversion — %s already exists", out_dir)
     else:

@@ -28,6 +28,7 @@ import numpy as np
 
 STACK_NAME = "ddim_trajectory.npz"
 NATIVE_NAME = "ddim_trajectory.mvoctraj"
+META_NAME = "inversion_meta.json"
 
 
 class TrajectoryStore:
@@ -47,10 +48,19 @@ class TrajectoryStore:
 
     # -- write ------------------------------------------------------------
 
-    def save(self, timesteps: Sequence[int], latents: np.ndarray) -> str:
+    def save(self, timesteps: Sequence[int], latents: np.ndarray,
+             meta: dict | None = None) -> str:
         """latents: [steps, F, h, w, C]; timesteps[i] is the (noisier) t the
-        i-th entry sits at (ascending for inversion output)."""
+        i-th entry sits at (ascending for inversion output).  `meta` is a
+        JSON-able dict of the producing config, written alongside so
+        consumers can detect stale caches (content-addressed resume,
+        SURVEY.md §5 checkpoint/resume)."""
         os.makedirs(self.path, exist_ok=True)
+        if meta is not None:
+            import json
+
+            with open(os.path.join(self.path, META_NAME), "w") as f:
+                json.dump(meta, f, indent=1, default=str)
         ts = np.asarray(timesteps, dtype=np.int32)
         if self.prefer_native:
             from mvoc_tpu.io import native
@@ -61,6 +71,25 @@ class TrajectoryStore:
         out = os.path.join(self.path, STACK_NAME)
         np.savez(out, timesteps=ts, latents=latents.astype(np.float16))
         return out
+
+    @property
+    def meta(self) -> dict | None:
+        import json
+
+        p = os.path.join(self.path, META_NAME)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def matches_meta(self, expected: dict) -> bool:
+        """True when a cached trajectory was produced by `expected` (compared
+        on the intersection of keys; no meta file = assume match, matching
+        the reference's path-only skip check, inverse.py:181-183)."""
+        got = self.meta
+        if got is None:
+            return True
+        return all(str(got.get(k)) == str(v) for k, v in expected.items() if k in got)
 
     # -- read -------------------------------------------------------------
 

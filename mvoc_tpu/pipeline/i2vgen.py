@@ -341,7 +341,13 @@ class I2VGenXLPipeline:
             )
         trajectory = np.asarray(trajectory)
         if output_dir is not None:
-            TrajectoryStore(output_dir).save(ts, trajectory)
+            meta = dict(
+                n_steps=num_inference_steps, guidance_scale=guidance_scale,
+                num_frames=num_frames, height=height, width=width,
+                prompt=prompt, seed=seed, target_fps=target_fps,
+                encoder_reuse_interval=encoder_reuse_interval,
+            )
+            TrajectoryStore(output_dir).save(ts, trajectory, meta=meta)
             logger.info("saved trajectory (%d steps) to %s", len(ts), output_dir)
         return ts, trajectory
 

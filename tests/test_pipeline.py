@@ -362,3 +362,18 @@ def test_inversion_encoder_reuse_runs(pipe, cond1):
     assert corr > 0.9, corr
     # approximation must actually differ
     assert np.abs(traj1 - traj2).max() > 1e-6
+
+
+def test_trajectory_meta_stale_cache_detection(tmp_path, rng):
+    lat = rng.standard_normal((2, F, LAT, LAT, 4)).astype(np.float32)
+    store = TrajectoryStore(str(tmp_path / "m"))
+    store.save([1, 3], lat, meta={"n_steps": 2, "prompt": "a"})
+    s2 = TrajectoryStore(str(tmp_path / "m"))
+    assert s2.meta["n_steps"] == 2
+    assert s2.matches_meta({"n_steps": 2, "prompt": "a"})
+    assert s2.matches_meta({"n_steps": 2, "unknown_key": "x"})  # intersection only
+    assert not s2.matches_meta({"n_steps": 5})
+    # legacy store without meta: assume match (reference behavior)
+    store3 = TrajectoryStore(str(tmp_path / "nometa"))
+    store3.save([1], lat[:1])
+    assert TrajectoryStore(str(tmp_path / "nometa")).matches_meta({"n_steps": 9})

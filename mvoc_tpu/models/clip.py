@@ -18,7 +18,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

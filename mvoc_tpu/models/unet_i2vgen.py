@@ -34,7 +34,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -494,10 +494,10 @@ class I2VGenXLUNet(nn.Module):
         il = nn.silu(il)
         il = _adaptive_avg_pool2d(il, (32, 32)).astype(self.dtype)
         il = nn.Conv(c_in * 16, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
-                     name="image_latents_context_embedding_2")(il)
+                     name="image_latents_context_embedding_3")(il)
         il = nn.silu(il)
         il = nn.Conv(cfg.cross_attention_dim, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
-                     name="image_latents_context_embedding_4")(il)
+                     name="image_latents_context_embedding_5")(il)
         n_img_tokens = il.shape[1] * il.shape[2]
         il_tokens = il.reshape(b, n_ctx_frames, n_img_tokens, cfg.cross_attention_dim)
         il_tokens = jnp.broadcast_to(

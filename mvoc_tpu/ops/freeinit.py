@@ -13,7 +13,6 @@ noise-reinitialization utility.
 
 from __future__ import annotations
 
-import math
 from typing import Literal
 
 import jax

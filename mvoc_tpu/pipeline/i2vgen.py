@@ -22,7 +22,6 @@ Differences by design (TPU-first):
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 from typing import Any, Optional, Sequence
 

@@ -108,3 +108,75 @@ def test_tensor_transforms():
     emb = np.zeros((9, 4), np.float32)
     leaf, v = convert._tensor_transform(["token_embedding"], "weight", emb)
     assert leaf == "embedding" and v.shape == (9, 4)
+
+
+def test_unet_key_fn_mapping():
+    """Curated diffusers-I2VGenXLUNet checkpoint keys -> our flax paths."""
+    f = convert.unet_key_fn
+    cases = {
+        "conv_in": ["conv_in"],
+        "time_embedding.linear_1": ["time_embedding", "linear_1"],
+        "fps_embedding.linear_2": ["fps_embedding", "linear_2"],
+        "transformer_in.proj_in": ["transformer_in", "proj_in"],
+        "transformer_in.transformer_blocks.0.attn1.to_q":
+            ["transformer_in", "transformer_blocks_0", "attn1", "to_q"],
+        "transformer_in.transformer_blocks.0.attn1.to_out.0":
+            ["transformer_in", "transformer_blocks_0", "attn1", "to_out_0"],
+        "transformer_in.transformer_blocks.0.ff.net.0.proj":
+            ["transformer_in", "transformer_blocks_0", "ff", "net_0_proj"],
+        "transformer_in.transformer_blocks.0.ff.net.2":
+            ["transformer_in", "transformer_blocks_0", "ff", "net_2"],
+        "down_blocks.0.resnets.1.time_emb_proj":
+            ["down_blocks_0", "resnets_1", "time_emb_proj"],
+        "down_blocks.2.attentions.1.transformer_blocks.0.attn2.to_k":
+            ["down_blocks_2", "attentions_1", "transformer_blocks_0", "attn2", "to_k"],
+        "down_blocks.0.temp_convs.1.conv1.0":
+            ["down_blocks_0", "temp_convs_1", "conv1_norm"],
+        "down_blocks.0.temp_convs.1.conv4.2":
+            ["down_blocks_0", "temp_convs_1", "conv4_conv"],
+        "down_blocks.0.downsamplers.0.conv":
+            ["down_blocks_0", "downsamplers_0", "conv"],
+        "up_blocks.3.upsamplers.0.conv": None,  # up3 has no upsampler; key absent in ckpt
+        "up_blocks.1.upsamplers.0.conv": ["up_blocks_1", "upsamplers_0", "conv"],
+        "mid_block.temp_attentions.0.proj_out":
+            ["mid_block", "temp_attentions_0", "proj_out"],
+        "image_latents_proj_in.0": ["image_latents_proj_in_0"],
+        "image_latents_proj_in.4": ["image_latents_proj_in_4"],
+        "image_latents_context_embedding.0": ["image_latents_context_embedding_0"],
+        "image_latents_context_embedding.3": ["image_latents_context_embedding_3"],
+        "image_latents_context_embedding.5": ["image_latents_context_embedding_5"],
+        "context_embedding.0": ["context_embedding_0"],
+        "context_embedding.2": ["context_embedding_2"],
+        "image_latents_temporal_encoder.norm1":
+            ["image_latents_temporal_encoder", "norm1"],
+        "conv_norm_out": ["conv_norm_out"],
+        "conv_out": ["conv_out"],
+    }
+    for key, want in cases.items():
+        if want is None:
+            continue
+        assert f(key) == want, (key, f(key), want)
+
+
+def test_vae_key_fn_mapping():
+    f = convert.vae_key_fn
+    cases = {
+        "encoder.conv_in": ["encoder", "conv_in"],
+        "encoder.down_blocks.0.resnets.1.norm1":
+            ["encoder", "down_blocks_0_resnets_1", "norm1"],
+        "encoder.down_blocks.2.downsamplers.0.conv":
+            ["encoder", "down_blocks_2_downsamplers_0_conv"],
+        "encoder.mid_block.resnets.0.conv1":
+            ["encoder", "mid_block", "resnets_0", "conv1"],
+        "encoder.mid_block.attentions.0.to_q":
+            ["encoder", "mid_block", "attentions_0", "to_q"],
+        "encoder.conv_norm_out": ["encoder", "conv_norm_out"],
+        "decoder.up_blocks.3.resnets.2.conv_shortcut":
+            ["decoder", "up_blocks_3_resnets_2", "conv_shortcut"],
+        "decoder.up_blocks.0.upsamplers.0.conv":
+            ["decoder", "up_blocks_0_upsamplers_0_conv"],
+        "quant_conv": ["quant_conv"],
+        "post_quant_conv": ["post_quant_conv"],
+    }
+    for key, want in cases.items():
+        assert f(key) == want, (key, f(key), want)

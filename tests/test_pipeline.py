@@ -377,3 +377,35 @@ def test_trajectory_meta_stale_cache_detection(tmp_path, rng):
     store3 = TrajectoryStore(str(tmp_path / "nometa"))
     store3.save([1], lat[:1])
     assert TrajectoryStore(str(tmp_path / "nometa")).matches_meta({"n_steps": 9})
+
+
+def test_bf16_inversion_tracks_fp32(pipe, cond1):
+    """bf16 compute must stay usable for inversion: the bf16 trajectory must
+    correlate strongly with fp32 over a multi-step chain (the real risk for
+    500-step runs flagged in SURVEY.md §7 'hard parts'; scheduler math is
+    fp32 in both cases)."""
+    import dataclasses as dc
+
+    from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet
+
+    rng = np.random.default_rng(12)
+    x0 = jnp.asarray(rng.standard_normal((F, LAT, LAT, 4), dtype=np.float32))
+    ddim = DDIM(SchedulerConfig())
+    inv_ts = inversion_timesteps(SchedulerConfig(), 20)
+
+    unet_bf16 = I2VGenXLUNet(pipe.unet.config, dtype=jnp.bfloat16)
+
+    def apply32(p, **kw):
+        return pipe.unet.apply(p, **kw)
+
+    def apply16(p, **kw):
+        return unet_bf16.apply(p, **kw)
+
+    t32 = np.asarray(core.ddim_inversion_core(
+        apply32, ddim, pipe.params["unet"], x0, cond1, jnp.asarray(inv_ts), 20, 1.0))
+    t16 = np.asarray(core.ddim_inversion_core(
+        apply16, ddim, pipe.params["unet"], x0, cond1, jnp.asarray(inv_ts), 20, 1.0))
+    corr = np.corrcoef(t32[-1].ravel(), t16[-1].ravel())[0, 1]
+    assert corr > 0.95, corr
+    rel = np.linalg.norm(t16[-1] - t32[-1]) / np.linalg.norm(t32[-1])
+    assert rel < 0.35, rel

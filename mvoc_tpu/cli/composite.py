@@ -98,6 +98,7 @@ def run_entry(pipe, config) -> None:
         # mvoc_tpu extension (not in the reference): training-free encoder
         # reuse; 1 = exact reference semantics
         encoder_reuse_interval=config.get("encoder_reuse_interval", 1),
+        two_pass=config.get("two_pass", False),
         pnp_f_t=config.pnp_f_t,
         pnp_spatial_attn_t=config.pnp_spatial_attn_t,
         pnp_temp_attn_t=config.pnp_temp_attn_t,

@@ -300,21 +300,49 @@ def apply_freeu(block_index: int, hidden: jax.Array, skip: jax.Array,
     return hidden, skip
 
 
-def _spatial_qk_edit(pnp, h, w):
+def _capture_qk(rec, site_id):
+    def cap(q, k):
+        rec[site_id] = (q, k)
+        return q, k
+    return cap
+
+
+def _capture_act(rec, site_id):
+    def cap(x):
+        rec[site_id] = x
+        return x
+    return cap
+
+
+def _spatial_qk_edit(pnp, h, w, site_id=None, rec=None):
+    if rec is not None:
+        return _capture_qk(rec, site_id)
     if pnp is None:
         return None
+    if pnp.mode == "consume":
+        fq, fk = pnp.features[site_id]
+        return lambda q, k: pnp_lib.consume_spatial_qk(q, k, fq, fk, pnp, h, w)
     return lambda q, k: pnp_lib.inject_spatial_qk(q, k, pnp, h, w)
 
 
-def _temporal_qk_edit(pnp, h, w):
+def _temporal_qk_edit(pnp, h, w, site_id=None, rec=None):
+    if rec is not None:
+        return _capture_qk(rec, site_id)
     if pnp is None:
         return None
+    if pnp.mode == "consume":
+        fq, fk = pnp.features[site_id]
+        return lambda q, k: pnp_lib.consume_temporal_qk(q, k, fq, fk, pnp, h, w)
     return lambda q, k: pnp_lib.inject_temporal_qk(q, k, pnp, h, w)
 
 
-def _conv_edit(pnp, h, w):
+def _conv_edit(pnp, h, w, site_id=None, rec=None):
+    if rec is not None:
+        return _capture_act(rec, site_id)
     if pnp is None:
         return None
+    if pnp.mode == "consume":
+        return lambda x: pnp_lib.consume_conv_features(x, pnp.features[site_id], pnp, h, w)
     return lambda x: pnp_lib.inject_conv_features(x, pnp, h, w)
 
 
@@ -329,7 +357,7 @@ class UpBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, res_samples, temb, num_frames, upsample_size=None, pnp=None,
-                 freeu=None):
+                 freeu=None, capture=None):
         resnet_sites = pnp_lib.RESNET_SITES.get(self.block_index, ())
         tconv_sites = pnp_lib.TEMP_CONV_SITES.get(self.block_index, ())
         for i in range(self.num_layers):
@@ -339,11 +367,15 @@ class UpBlock3D(nn.Module):
             x = ResnetBlock2D(
                 self.out_channels, eps=self.norm_eps, groups=self.norm_num_groups,
                 dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb, pnp_edit=_conv_edit(pnp, hcur, wcur) if i in resnet_sites else None)
+            )(x, temb, pnp_edit=_conv_edit(
+                pnp, hcur, wcur, f"resnet_{self.block_index}_{i}", capture)
+                if i in resnet_sites else None)
             x = TemporalConvLayer(
                 self.out_channels, groups=self.norm_num_groups,
                 dtype=self.dtype, name=f"temp_convs_{i}",
-            )(x, num_frames, pnp_edit=_conv_edit(pnp, hcur, wcur) if i in tconv_sites else None)
+            )(x, num_frames, pnp_edit=_conv_edit(
+                pnp, hcur, wcur, f"tconv_{self.block_index}_{i}", capture)
+                if i in tconv_sites else None)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x, upsample_size)
         return x
@@ -365,7 +397,7 @@ class CrossAttnUpBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, res_samples, temb, context, num_frames, upsample_size=None,
-                 pnp=None, freeu=None):
+                 pnp=None, freeu=None, capture=None):
         spatial_sites = pnp_lib.SPATIAL_ATTN_SITES.get(self.block_index, ())
         temporal_sites = pnp_lib.TEMPORAL_ATTN_SITES.get(self.block_index, ())
         resnet_sites = pnp_lib.RESNET_SITES.get(self.block_index, ())
@@ -377,24 +409,32 @@ class CrossAttnUpBlock3D(nn.Module):
             x = ResnetBlock2D(
                 self.out_channels, eps=self.norm_eps, groups=self.norm_num_groups,
                 dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb, pnp_edit=_conv_edit(pnp, hcur, wcur) if i in resnet_sites else None)
+            )(x, temb, pnp_edit=_conv_edit(
+                pnp, hcur, wcur, f"resnet_{self.block_index}_{i}", capture)
+                if i in resnet_sites else None)
             x = TemporalConvLayer(
                 self.out_channels, groups=self.norm_num_groups,
                 dtype=self.dtype, name=f"temp_convs_{i}",
-            )(x, num_frames, pnp_edit=_conv_edit(pnp, hcur, wcur) if i in tconv_sites else None)
+            )(x, num_frames, pnp_edit=_conv_edit(
+                pnp, hcur, wcur, f"tconv_{self.block_index}_{i}", capture)
+                if i in tconv_sites else None)
             x = Transformer2DModel(
                 self.out_channels, self.heads, self.dim_head, self.cross_attention_dim,
                 norm_num_groups=self.norm_num_groups, ff_chunk_rows=self.ff_chunk_rows,
                 dtype=self.dtype, name=f"attentions_{i}",
             )(x, context,
-              attn1_qk_edit=_spatial_qk_edit(pnp, hcur, wcur) if i in spatial_sites else None)
+              attn1_qk_edit=_spatial_qk_edit(
+                  pnp, hcur, wcur, f"spatial_{self.block_index}_{i}", capture)
+              if i in spatial_sites else None)
             x = TransformerTemporalModel(
                 self.out_channels, self.heads, self.dim_head,
                 norm_num_groups=self.norm_num_groups, window=self.temporal_window,
                 ff_chunk_rows=self.ff_chunk_rows,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames,
-              attn1_qk_edit=_temporal_qk_edit(pnp, hcur, wcur) if i in temporal_sites else None)
+              attn1_qk_edit=_temporal_qk_edit(
+                  pnp, hcur, wcur, f"temporal_{self.block_index}_{i}", capture)
+              if i in temporal_sites else None)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x, upsample_size)
         return x
@@ -458,6 +498,7 @@ class I2VGenXLUNet(nn.Module):
         freeu: Optional[FreeUConfig] = None,
         cached_encoder: Optional[tuple] = None,
         return_encoder: bool = False,
+        pnp_capture: bool = False,
     ) -> jax.Array:
         """cached_encoder / return_encoder implement training-free encoder
         reuse (arXiv 2312.09608 'Faster Diffusion'): UNet down+mid features
@@ -584,6 +625,7 @@ class I2VGenXLUNet(nn.Module):
         encoder_features = (x, tuple(res_stack))
 
         # 8. up blocks (3 resnets each)
+        capture: Optional[dict] = {} if pnp_capture else None
         rev = tuple(reversed(cfg.block_out_channels))
         n_up_layers = cfg.layers_per_block + 1
         for i in range(n_blocks):
@@ -597,7 +639,7 @@ class I2VGenXLUNet(nn.Module):
                     out_channels=out_ch, num_layers=n_up_layers, add_upsample=not is_final,
                     norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                     block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
-                )(x, res, emb, f, upsample_size, pnp, freeu)
+                )(x, res, emb, f, upsample_size, pnp, freeu, capture)
             else:  # CrossAttnUpBlock3D
                 x = CrossAttnUpBlock3D(
                     out_channels=out_ch, num_layers=n_up_layers, add_upsample=not is_final,
@@ -606,14 +648,23 @@ class I2VGenXLUNet(nn.Module):
                     norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                     temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
                     block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
-                )(x, res, emb, context, f, upsample_size, pnp, freeu)
+                )(x, res, emb, context, f, upsample_size, pnp, freeu, capture)
 
         # 9. post-process (+ out-conv PnP injection, pnp_utils.py:1108-1159)
         x = GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
-        if pnp is not None:
-            x = pnp_lib.inject_conv_features(x, pnp, x.shape[1], x.shape[2])
+        if capture is not None:
+            capture["out_conv"] = x
+        elif pnp is not None:
+            if pnp.mode == "consume":
+                x = pnp_lib.consume_conv_features(
+                    x, pnp.features["out_conv"], pnp, x.shape[1], x.shape[2])
+            else:
+                x = pnp_lib.inject_conv_features(x, pnp, x.shape[1], x.shape[2])
+        if capture is not None:
+            for site_id, val in capture.items():
+                self.sow("pnp_features", site_id, val)
         out = x.reshape(b, f, h, w, cfg.out_channels)
         if return_encoder:
             return out, encoder_features

@@ -231,6 +231,7 @@ def pnp_composite_core(
     inject_background: bool = True,
     encoder_reuse_interval: int = 1,
     init_encoder_cache=None,
+    two_pass: bool = False,
 ) -> jax.Array:
     """The MVOC composite sampler as one scan (reference:
     pipeline_i2vgen_xl.py:1635-1734 + pnp_utils injection sites).
@@ -245,10 +246,25 @@ def pnp_composite_core(
     so it stays exact w.r.t. the reused features).  `init_encoder_cache`
     must be a zero pytree with the encoder-feature structure (see
     I2VGenXLPipeline._encoder_cache_zeros).
+
+    two_pass=True runs each step as capture(sources, batch N+1) then
+    consume(edits, batch 2) — numerically identical to the fused batch
+    (tested), with peak activation memory of max(N+1, 2) branches instead
+    of N+3.  Mutually exclusive with encoder reuse for now.
     """
     n_obj = masks_soft.shape[0]
     mask_b = masks_soft[..., None]  # [N, F, h, w, 1]
     reuse = encoder_reuse_interval > 1
+    assert not (two_pass and reuse), "two_pass and encoder reuse are exclusive (round 2)"
+
+    def _slice_cond(c, lo, hi):
+        return UNetConditioning(
+            encoder_hidden_states=c.encoder_hidden_states[lo:hi],
+            image_latents_first=c.image_latents_first[lo:hi],
+            image_latents=c.image_latents[lo:hi],
+            image_embeddings=c.image_embeddings[lo:hi],
+            fps=c.fps[lo:hi],
+        )
 
     def body(carry, xs):
         if reuse:
@@ -292,6 +308,43 @@ def pnp_composite_core(
             gate_conv=g_conv,
             inject_background=inject_background,
         )
+
+        if two_pass:
+            src_cond = _slice_cond(cond, 0, n_obj + 1)
+            edit_cond = _slice_cond(cond, n_obj + 1, n_obj + 3)
+            src_inp = inp[: n_obj + 1]
+            _, variables = unet_apply(
+                unet_params,
+                sample=src_inp,
+                timestep=t,
+                fps=src_cond.fps,
+                image_latents_first=src_cond.image_latents_first,
+                image_latents=src_cond.image_latents,
+                image_embeddings=src_cond.image_embeddings,
+                encoder_hidden_states=src_cond.encoder_hidden_states,
+                pnp_capture=True,
+                mutable=["pnp_features"],
+            )
+            feats = {k: v[0] for k, v in variables["pnp_features"].items()}
+            import dataclasses as _dc
+
+            pnp_consume = _dc.replace(pnp_state, mode="consume", features=feats)
+            edit_inp = jnp.concatenate([latents[None], latents[None]], axis=0)
+            eps_edit = unet_apply(
+                unet_params,
+                sample=edit_inp,
+                timestep=t,
+                fps=edit_cond.fps,
+                image_latents_first=edit_cond.image_latents_first,
+                image_latents=edit_cond.image_latents,
+                image_embeddings=edit_cond.image_embeddings,
+                encoder_hidden_states=edit_cond.encoder_hidden_states,
+                pnp=pnp_consume,
+            )
+            eps_neg, eps_pos = eps_edit[0], eps_edit[1]
+            eps_g = eps_neg + guidance_scale * (eps_pos - eps_neg)
+            nxt = ddim.step(eps_g, t, latents, num_inference_steps)
+            return nxt, None
 
         kwargs = dict(
             sample=inp,

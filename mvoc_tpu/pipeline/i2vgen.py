@@ -474,6 +474,7 @@ class I2VGenXLPipeline:
         random_noise_ratio: float = 0.0,
         inject_background: bool = True,
         encoder_reuse_interval: int = 1,
+        two_pass: bool = False,
         pnp_f_t: float = 0.8,
         pnp_spatial_attn_t: float = 0.8,
         pnp_temp_attn_t: float = 0.8,
@@ -604,6 +605,7 @@ class I2VGenXLPipeline:
                 inject_background=inject_background,
                 encoder_reuse_interval=int(encoder_reuse_interval),
                 init_encoder_cache=init_cache,
+                two_pass=two_pass,
             )
         )
         final = composite_fn(

@@ -80,6 +80,11 @@ class PnPState:
     gate_conv: jax.Array
     masks_soft: Optional[Dict[Tuple[int, int], jax.Array]] = None
     inject_background: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # two-pass execution: "fused" (default, all branches one batch),
+    # "consume" (edit-branch batch of 2 + `features` captured from a prior
+    # source-branch pass).  Capture itself is a UNet flag (pnp_capture).
+    mode: str = dataclasses.field(metadata=dict(static=True), default="fused")
+    features: Optional[Dict[str, tuple]] = None
 
     @property
     def num_objects(self) -> int:
@@ -233,3 +238,80 @@ def injection_gates(
             [int(t) in sched or int(t) == 1000 for t in run_timesteps], dtype=bool
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Two-pass execution: capture source-branch features, consume on edit branches
+# ---------------------------------------------------------------------------
+#
+# The fused path (above) runs all N+3 branches in one batch.  Two-pass mode
+# splits it: pass A runs ONLY the source branches (bg + objects, batch N+1)
+# and captures the raw per-branch features at every injection site (flax
+# `sow`); pass B runs ONLY the edit branches (uncond + cond, batch 2) and
+# composites the captured features into its Q/K/activations.  The math is
+# identical to the fused path; the peak activation memory drops from
+# batch N+3 to max(N+1, 2), which is what unlocks 720p + encoder reuse on a
+# single 16 GB chip.  Site ids are f"{kind}_{block_index}_{layer}" plus
+# "out_conv".
+
+
+def consume_spatial_qk(
+    q: jax.Array, k: jax.Array, src_q: jax.Array, src_k: jax.Array,
+    pnp: PnPState, h: int, w: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Edit-branch Q/K injection from captured source features.
+
+    q, k: [2*F, hw, C] (uncond, cond); src_q/src_k: [(N+1)*F, hw, C].
+    """
+    n = pnp.num_objects
+    bf, hw, c = q.shape
+    f = bf // 2
+    mask = pnp.mask_at(h, w).astype(q.dtype).reshape(n, 1, f, hw, 1)
+
+    def edit(x, src):
+        xb = x.reshape(2, f, hw, c)
+        sb = src.reshape(n + 1, f, hw, c)
+        base = sb[0:1] if pnp.inject_background else xb[1:2]
+        inj = _composite(base, sb[1 : n + 1][:, None], mask)
+        return jnp.concatenate([inj, inj], axis=0).reshape(bf, hw, c)
+
+    gate = pnp.gate_spatial
+    return (jnp.where(gate, edit(q, src_q), q),
+            jnp.where(gate, edit(k, src_k), k))
+
+
+def consume_temporal_qk(
+    q: jax.Array, k: jax.Array, src_q: jax.Array, src_k: jax.Array,
+    pnp: PnPState, h: int, w: int,
+) -> tuple[jax.Array, jax.Array]:
+    """q, k: [2*hw, F, C]; src: [(N+1)*hw, F, C]."""
+    n = pnp.num_objects
+    bhw, f, c = q.shape
+    hw = bhw // 2
+    mask = (pnp.mask_at(h, w, soft=True).astype(q.dtype)
+            .transpose(0, 2, 3, 1).reshape(n, 1, hw, f, 1))
+
+    def edit(x, src):
+        xb = x.reshape(2, hw, f, c)
+        sb = src.reshape(n + 1, hw, f, c)
+        base = sb[0:1] if pnp.inject_background else xb[1:2]
+        inj = _composite(base, sb[1 : n + 1][:, None], mask)
+        return jnp.concatenate([inj, inj], axis=0).reshape(bhw, f, c)
+
+    gate = pnp.gate_temporal
+    return (jnp.where(gate, edit(q, src_q), q),
+            jnp.where(gate, edit(k, src_k), k))
+
+
+def consume_conv_features(
+    x: jax.Array, src: jax.Array, pnp: PnPState, h: int, w: int
+) -> jax.Array:
+    """x: [2*F, h, w, C]; src: [(N+1)*F, h, w, C]; base is ALWAYS bg."""
+    n = pnp.num_objects
+    bf, hh, ww, c = x.shape
+    f = bf // 2
+    mask = pnp.mask_at(h, w).astype(x.dtype).reshape(n, 1, f, hh, ww, 1)
+    sb = src.reshape(n + 1, f, hh, ww, c)
+    inj = _composite(sb[0:1], sb[1 : n + 1][:, None], mask)
+    edited = jnp.concatenate([inj, inj], axis=0).reshape(bf, hh, ww, c)
+    return jnp.where(pnp.gate_conv, edited, x)

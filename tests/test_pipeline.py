@@ -409,3 +409,52 @@ def test_bf16_inversion_tracks_fp32(pipe, cond1):
     assert corr > 0.95, corr
     rel = np.linalg.norm(t16[-1] - t32[-1]) / np.linalg.norm(t32[-1])
     assert rel < 0.35, rel
+
+
+def test_composite_two_pass_equals_fused(pipe, cond1):
+    """two_pass=True composite scan == fused scan, exactly (same math,
+    different batching)."""
+    rng = np.random.default_rng(15)
+    n_obj = 2
+    ddim = DDIM(SchedulerConfig())
+    run_ts = sampling_timesteps(SchedulerConfig(), N_STEPS)[:3]
+    S = len(run_ts)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s, dtype=np.float32))
+
+    condN = core.UNetConditioning(
+        encoder_hidden_states=mk(n_obj + 3, 7, 16),
+        image_latents_first=mk(n_obj + 3, F, LAT, LAT, 4),
+        image_latents=mk(n_obj + 3, F, LAT, LAT, 4),
+        image_embeddings=mk(n_obj + 3, F, 16),
+        fps=jnp.asarray([8] * (n_obj + 3)),
+    )
+    from mvoc_tpu import pnp as pnp_lib
+
+    masks_soft = np.zeros((n_obj, F, LAT, LAT), np.float32)
+    masks_soft[0, :, : LAT // 2] = 1.0
+    masks_soft[1, :, :, : LAT // 2] = 1.0
+    res = [(LAT, LAT), (LAT // 2, LAT // 2), (LAT // 4, LAT // 4)]
+    pyr = {k: jnp.asarray(v) for k, v in pnp_lib.build_mask_pyramid(masks_soft, res).items()}
+    on = jnp.ones((S,), bool)
+    sched = core.CompositeSchedule(
+        bg_traj=mk(S, F, LAT, LAT, 4), obj_traj=mk(S, n_obj, F, LAT, LAT, 4),
+        obj_fusion_lat=mk(n_obj, F, LAT, LAT, 4),
+        gate_spatial=on, gate_temporal=on, gate_conv=on,
+        fusion_mask=jnp.asarray([True] + [False] * (S - 1)),
+        timesteps=jnp.asarray(run_ts),
+    )
+    xT = mk(F, LAT, LAT, 4)
+
+    def run(two_pass):
+        return np.asarray(core.pnp_composite_core(
+            pipe._unet_apply, ddim, pipe.params["unet"], xT, condN, sched,
+            jnp.asarray(masks_soft), pyr, pyr,
+            num_inference_steps=N_STEPS, guidance_scale=3.0,
+            random_noise_ratio=0.3, two_pass=two_pass,
+        ))
+
+    fused = run(False)
+    two = run(True)
+    np.testing.assert_allclose(two, fused, atol=5e-4)

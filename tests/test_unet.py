@@ -122,3 +122,43 @@ def test_multi_frame_guidance_changes_output(unet):
     a = np.asarray(model.apply(params, **same, multi_frame_guidance=True))
     b = np.asarray(model.apply(params, **same, multi_frame_guidance=False))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_two_pass_capture_consume_equals_fused(unet):
+    """Two-pass execution (capture source features, then run edit branches
+    with mode='consume') must produce EXACTLY the fused 5-branch result for
+    the edit branches — the math is identical, only the batching differs.
+    Verified for both inject_background settings."""
+    import dataclasses
+
+    cfg, model, params, inputs, _ = unet
+
+    for inject_bg in (True, False):
+        pnp = dataclasses.replace(_mask_state(), inject_background=inject_bg)
+        fused = np.asarray(model.apply(params, **inputs, pnp=pnp))
+
+        src_inputs = {
+            k: (v[: N_OBJ + 1] if hasattr(v, "ndim") and v.ndim >= 1 and
+                v.shape[0] == B else v)
+            for k, v in inputs.items()
+        }
+        edit_inputs = {
+            k: (v[N_OBJ + 1 :] if hasattr(v, "ndim") and v.ndim >= 1 and
+                v.shape[0] == B else v)
+            for k, v in inputs.items()
+        }
+        # pass A: sources only, capture raw features
+        src_eps, variables = model.apply(
+            params, **src_inputs, pnp_capture=True, mutable=["pnp_features"])
+        feats = {k: v[0] for k, v in variables["pnp_features"].items()}
+        assert "out_conv" in feats and any(k.startswith("spatial_") for k in feats)
+
+        # pass B: edit branches with consume-mode PnP
+        pnp_consume = dataclasses.replace(pnp, mode="consume", features=feats)
+        edit_eps = np.asarray(model.apply(params, **edit_inputs, pnp=pnp_consume))
+
+        np.testing.assert_allclose(
+            edit_eps, fused[N_OBJ + 1 :], atol=2e-5,
+            err_msg=f"two-pass mismatch (inject_background={inject_bg})")
+        # source branches also match (no injection applies to them)
+        np.testing.assert_allclose(np.asarray(src_eps), fused[: N_OBJ + 1], atol=2e-5)

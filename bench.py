@@ -89,15 +89,12 @@ def build(preset: str):
     ddim = DDIM(SchedulerConfig())
 
     def make_two_pass_step():
-        from mvoc_tpu import pnp as pnp_lib2
         import dataclasses as dc
 
-        def step(params, sample, latents):
+        def step(params, sample, latents, gate):
             pnp_state = pnp_lib.PnPState(
                 masks=pyr, masks_soft=pyr,
-                gate_spatial=jnp.asarray(True),
-                gate_temporal=jnp.asarray(True),
-                gate_conv=jnp.asarray(True),
+                gate_spatial=gate, gate_temporal=gate, gate_conv=gate,
             )
             src = {k: (v[: n_obj + 1] if hasattr(v, "shape") and v.shape[:1] == (B,) else v)
                    for k, v in inputs.items()}
@@ -121,12 +118,10 @@ def build(preset: str):
         return jax.jit(step)
 
     def make_step(cached: bool):
-        def step(params, sample, latents, cache=None):
+        def step(params, sample, latents, gate, cache=None):
             pnp_state = pnp_lib.PnPState(
                 masks=pyr, masks_soft=pyr,
-                gate_spatial=jnp.asarray(True),
-                gate_temporal=jnp.asarray(True),
-                gate_conv=jnp.asarray(True),
+                gate_spatial=gate, gate_temporal=gate, gate_conv=gate,
             )
             kw = {**inputs, "sample": sample}
             if cached:
@@ -146,7 +141,8 @@ def build(preset: str):
         # the fresh variant must not take the cache as a traced arg (its
         # structure changes None->arrays between warmup and loop, forcing a
         # recompile inside the timed region)
-        return jax.jit(lambda params, sample, latents: step(params, sample, latents))
+        return jax.jit(lambda params, sample, latents, gate: step(
+            params, sample, latents, gate))
 
     latents = inputs["sample"][0].astype(jnp.float32)
     return make_step, make_two_pass_step, params, inputs["sample"], latents
@@ -168,16 +164,19 @@ def main():
 
     iters = args.iters or (10 if args.preset.startswith("full") else 2)
     make_step, make_two_pass, params, sample, latents = build(args.preset)
+    import jax.numpy as jnp
+
+    gate = jnp.asarray(True)  # traced input: injection work cannot be DCE'd
     if args.two_pass:
         assert args.reuse == 1, "--two_pass and --reuse are exclusive"
         tp = make_two_pass()
-        s, l = tp(params, sample, latents)
+        s, l = tp(params, sample, latents, gate)
         jax.block_until_ready((s, l))
         import time as _time
 
         t0 = _time.perf_counter()
         for _ in range(iters):
-            s, l = tp(params, s, l)
+            s, l = tp(params, s, l, gate)
         jax.block_until_ready((s, l))
         dt = _time.perf_counter() - t0
         print(json.dumps({
@@ -196,18 +195,18 @@ def main():
     cached_step = make_step(cached=True) if args.reuse > 1 else None
 
     # warmup / compile
-    s, l, c = fresh_step(params, sample, latents)
+    s, l, c = fresh_step(params, sample, latents, gate)
     jax.block_until_ready((s, l))
     if cached_step is not None:
-        s2, l2, _ = cached_step(params, s, l, c)
+        s2, l2, _ = cached_step(params, s, l, gate, c)
         jax.block_until_ready((s2, l2))
 
     t0 = time.perf_counter()
     for i in range(iters):
         if cached_step is not None and i % args.reuse != 0:
-            s, l, c = cached_step(params, s, l, c)
+            s, l, c = cached_step(params, s, l, gate, c)
         else:
-            s, l, c = fresh_step(params, s, l)
+            s, l, c = fresh_step(params, s, l, gate)
     jax.block_until_ready((s, l))
     dt = time.perf_counter() - t0
 

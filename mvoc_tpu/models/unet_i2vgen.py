@@ -316,33 +316,56 @@ def _capture_act(rec, site_id):
 
 def _spatial_qk_edit(pnp, h, w, site_id=None, rec=None):
     if rec is not None:
+        if pnp is not None:  # pre-composited capture: store S, 1 branch-equiv
+            def cap(q, k):
+                rec[site_id] = pnp_lib.precomposite_spatial(q, k, pnp, h, w)
+                return q, k
+            return cap
         return _capture_qk(rec, site_id)
     if pnp is None:
         return None
     if pnp.mode == "consume":
         fq, fk = pnp.features[site_id]
         return lambda q, k: pnp_lib.consume_spatial_qk(q, k, fq, fk, pnp, h, w)
+    if pnp.mode == "consume_pre":
+        sq, sk = pnp.features[site_id]
+        return lambda q, k: pnp_lib.consume_spatial_precomposited(q, k, sq, sk, pnp, h, w)
     return lambda q, k: pnp_lib.inject_spatial_qk(q, k, pnp, h, w)
 
 
 def _temporal_qk_edit(pnp, h, w, site_id=None, rec=None):
     if rec is not None:
+        if pnp is not None:
+            def cap(q, k):
+                rec[site_id] = pnp_lib.precomposite_temporal(q, k, pnp, h, w)
+                return q, k
+            return cap
         return _capture_qk(rec, site_id)
     if pnp is None:
         return None
     if pnp.mode == "consume":
         fq, fk = pnp.features[site_id]
         return lambda q, k: pnp_lib.consume_temporal_qk(q, k, fq, fk, pnp, h, w)
+    if pnp.mode == "consume_pre":
+        sq, sk = pnp.features[site_id]
+        return lambda q, k: pnp_lib.consume_temporal_precomposited(q, k, sq, sk, pnp, h, w)
     return lambda q, k: pnp_lib.inject_temporal_qk(q, k, pnp, h, w)
 
 
 def _conv_edit(pnp, h, w, site_id=None, rec=None):
     if rec is not None:
+        if pnp is not None:
+            def cap(x):
+                rec[site_id] = pnp_lib.precomposite_conv(x, pnp, h, w)
+                return x
+            return cap
         return _capture_act(rec, site_id)
     if pnp is None:
         return None
     if pnp.mode == "consume":
         return lambda x: pnp_lib.consume_conv_features(x, pnp.features[site_id], pnp, h, w)
+    if pnp.mode == "consume_pre":
+        return lambda x: pnp_lib.consume_conv_precomposited(x, pnp.features[site_id], pnp, h, w)
     return lambda x: pnp_lib.inject_conv_features(x, pnp, h, w)
 
 
@@ -655,10 +678,17 @@ class I2VGenXLUNet(nn.Module):
         x = nn.silu(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         if capture is not None:
-            capture["out_conv"] = x
+            if pnp is not None:
+                capture["out_conv"] = pnp_lib.precomposite_conv(
+                    x, pnp, x.shape[1], x.shape[2])
+            else:
+                capture["out_conv"] = x
         elif pnp is not None:
             if pnp.mode == "consume":
                 x = pnp_lib.consume_conv_features(
+                    x, pnp.features["out_conv"], pnp, x.shape[1], x.shape[2])
+            elif pnp.mode == "consume_pre":
+                x = pnp_lib.consume_conv_precomposited(
                     x, pnp.features["out_conv"], pnp, x.shape[1], x.shape[2])
             else:
                 x = pnp_lib.inject_conv_features(x, pnp, x.shape[1], x.shape[2])

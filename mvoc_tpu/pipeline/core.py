@@ -313,6 +313,9 @@ def pnp_composite_core(
             src_cond = _slice_cond(cond, 0, n_obj + 1)
             edit_cond = _slice_cond(cond, n_obj + 1, n_obj + 3)
             src_inp = inp[: n_obj + 1]
+            # PRE-COMPOSITED capture (pnp passed alongside pnp_capture):
+            # each site stores ONE branch-equivalent S with
+            # inj = base*W + S — ~(N+1)x less feature memory than raw capture
             _, variables = unet_apply(
                 unet_params,
                 sample=src_inp,
@@ -322,13 +325,14 @@ def pnp_composite_core(
                 image_latents=src_cond.image_latents,
                 image_embeddings=src_cond.image_embeddings,
                 encoder_hidden_states=src_cond.encoder_hidden_states,
+                pnp=pnp_state,
                 pnp_capture=True,
                 mutable=["pnp_features"],
             )
             feats = {k: v[0] for k, v in variables["pnp_features"].items()}
             import dataclasses as _dc
 
-            pnp_consume = _dc.replace(pnp_state, mode="consume", features=feats)
+            pnp_consume = _dc.replace(pnp_state, mode="consume_pre", features=feats)
             edit_inp = jnp.concatenate([latents[None], latents[None]], axis=0)
             eps_edit = unet_apply(
                 unet_params,

@@ -315,3 +315,140 @@ def consume_conv_features(
     inj = _composite(sb[0:1], sb[1 : n + 1][:, None], mask)
     edited = jnp.concatenate([inj, inj], axis=0).reshape(bf, hh, ww, c)
     return jnp.where(pnp.gate_conv, edited, x)
+
+
+# ---------------------------------------------------------------------------
+# Pre-composited capture: store ONE branch-equivalent per site instead of N+1
+# ---------------------------------------------------------------------------
+#
+# The sequential composite  base <- base*(1-m_j) + obj_j*m_j  expands to
+#     inj = base * W + S,   W = prod_j (1-m_j),
+#     S = sum_j obj_j * m_j * prod_{k>j} (1-m_k).
+# W depends only on the masks (recomputable in the consume pass) and S only
+# on the SOURCE branches, so capture can store just S (plus, for
+# inject_background=True, fold the bg base into S since bg is a source).
+# Feature memory per site drops from (N+1) branch-tensors to 1.
+# Equal to the sequential loop up to fp reassociation (~1e-7).
+
+
+def _source_sum(objs: jax.Array, masks: jax.Array) -> jax.Array:
+    """S = sum_j objs[j]*m_j*prod_{k>j}(1-m_k).  objs: [N, ...]; masks
+    broadcastable [N, ...]."""
+    n = objs.shape[0]
+    s = jnp.zeros_like(objs[0])
+    for j in range(n):
+        term = objs[j] * masks[j]
+        for k in range(j + 1, n):
+            term = term * (1.0 - masks[k])
+        s = s + term
+    return s
+
+
+def _transparency(masks: jax.Array) -> jax.Array:
+    w = 1.0 - masks[0]
+    for j in range(1, masks.shape[0]):
+        w = w * (1.0 - masks[j])
+    return w
+
+
+def precomposite_spatial(
+    q: jax.Array, k: jax.Array, pnp: PnPState, h: int, w: int
+) -> tuple[jax.Array, jax.Array]:
+    """Capture-side: source q/k [(N+1)*F, hw, C] -> per-site S (folding the
+    bg base in when inject_background)."""
+    n = pnp.num_objects
+    bf, hw, c = q.shape
+    f = bf // (n + 1)
+    mask = pnp.mask_at(h, w).astype(q.dtype).reshape(n, 1, f, hw, 1)
+
+    def s_of(x):
+        xb = x.reshape(n + 1, 1, f, hw, c)
+        s = _source_sum(xb[1:], mask)
+        if pnp.inject_background:
+            s = s + xb[0] * _transparency(mask)
+        return s[0]
+
+    return s_of(q), s_of(k)
+
+
+def precomposite_temporal(
+    q: jax.Array, k: jax.Array, pnp: PnPState, h: int, w: int
+) -> tuple[jax.Array, jax.Array]:
+    """Capture-side for temporal sites: q/k [(N+1)*hw, F, C] -> S."""
+    n = pnp.num_objects
+    bhw, f, c = q.shape
+    hw = bhw // (n + 1)
+    mask = (pnp.mask_at(h, w, soft=True).astype(q.dtype)
+            .transpose(0, 2, 3, 1).reshape(n, 1, hw, f, 1))
+
+    def s_of(x):
+        xb = x.reshape(n + 1, 1, hw, f, c)
+        s = _source_sum(xb[1:], mask)
+        if pnp.inject_background:
+            s = s + xb[0] * _transparency(mask)
+        return s[0]
+
+    return s_of(q), s_of(k)
+
+
+def precomposite_conv(x: jax.Array, pnp: PnPState, h: int, w: int) -> jax.Array:
+    """Capture-side for conv sites (base is ALWAYS bg): the full composite."""
+    n = pnp.num_objects
+    bf, hh, ww, c = x.shape
+    f = bf // (n + 1)
+    mask = pnp.mask_at(h, w).astype(x.dtype).reshape(n, 1, f, hh, ww, 1)
+    xb = x.reshape(n + 1, 1, f, hh, ww, c)
+    s = _source_sum(xb[1:], mask) + xb[0] * _transparency(mask)
+    return s[0]
+
+
+def consume_spatial_precomposited(
+    q: jax.Array, k: jax.Array, s_q: jax.Array, s_k: jax.Array,
+    pnp: PnPState, h: int, w: int,
+) -> tuple[jax.Array, jax.Array]:
+    """q, k: [2*F, hw, C]; s_*: the captured S [F, hw, C]."""
+    n = pnp.num_objects
+    bf, hw, c = q.shape
+    f = bf // 2
+    mask = pnp.mask_at(h, w).astype(q.dtype).reshape(n, f, hw, 1)
+
+    def edit(x, s):
+        xb = x.reshape(2, f, hw, c)
+        if pnp.inject_background:
+            inj = s[None]
+        else:
+            inj = (xb[1:2] * _transparency(mask)[None] + s[None])
+        return jnp.concatenate([inj, inj], axis=0).reshape(bf, hw, c)
+
+    gate = pnp.gate_spatial
+    return (jnp.where(gate, edit(q, s_q), q), jnp.where(gate, edit(k, s_k), k))
+
+
+def consume_temporal_precomposited(
+    q: jax.Array, k: jax.Array, s_q: jax.Array, s_k: jax.Array,
+    pnp: PnPState, h: int, w: int,
+) -> tuple[jax.Array, jax.Array]:
+    n = pnp.num_objects
+    bhw, f, c = q.shape
+    hw = bhw // 2
+    mask = (pnp.mask_at(h, w, soft=True).astype(q.dtype)
+            .transpose(0, 2, 3, 1).reshape(n, hw, f, 1))
+
+    def edit(x, s):
+        xb = x.reshape(2, hw, f, c)
+        if pnp.inject_background:
+            inj = s[None]
+        else:
+            inj = xb[1:2] * _transparency(mask)[None] + s[None]
+        return jnp.concatenate([inj, inj], axis=0).reshape(bhw, f, c)
+
+    gate = pnp.gate_temporal
+    return (jnp.where(gate, edit(q, s_q), q), jnp.where(gate, edit(k, s_k), k))
+
+
+def consume_conv_precomposited(
+    x: jax.Array, s: jax.Array, pnp: PnPState, h: int, w: int
+) -> jax.Array:
+    bf, hh, ww, c = x.shape
+    inj = jnp.concatenate([s[None], s[None]], axis=0).reshape(bf, hh, ww, c)
+    return jnp.where(pnp.gate_conv, inj, x)

@@ -162,3 +162,41 @@ def test_two_pass_capture_consume_equals_fused(unet):
             err_msg=f"two-pass mismatch (inject_background={inject_bg})")
         # source branches also match (no injection applies to them)
         np.testing.assert_allclose(np.asarray(src_eps), fused[: N_OBJ + 1], atol=2e-5)
+
+
+def test_precomposited_two_pass_equals_fused(unet):
+    """Pre-composited capture (one branch-equivalent per site: inj =
+    base*W + S) must match the fused result up to fp reassociation, for
+    both inject_background settings."""
+    import dataclasses
+
+    cfg, model, params, inputs, _ = unet
+
+    for inject_bg in (True, False):
+        pnp = dataclasses.replace(_mask_state(), inject_background=inject_bg)
+        fused = np.asarray(model.apply(params, **inputs, pnp=pnp))
+
+        src_inputs = {
+            k: (v[: N_OBJ + 1] if hasattr(v, "ndim") and v.ndim >= 1 and
+                v.shape[0] == B else v)
+            for k, v in inputs.items()
+        }
+        edit_inputs = {
+            k: (v[N_OBJ + 1 :] if hasattr(v, "ndim") and v.ndim >= 1 and
+                v.shape[0] == B else v)
+            for k, v in inputs.items()
+        }
+        # pass A with pnp -> PRE-COMPOSITED capture
+        _, variables = model.apply(
+            params, **src_inputs, pnp=pnp, pnp_capture=True,
+            mutable=["pnp_features"])
+        feats = {k: v[0] for k, v in variables["pnp_features"].items()}
+        # each feature is ONE branch-equivalent (S), not N+1
+        sq, sk = feats["spatial_3_0"]
+        assert sq.shape[0] == F  # F rows, not (N+1)*F
+
+        pnp_consume = dataclasses.replace(pnp, mode="consume_pre", features=feats)
+        edit_eps = np.asarray(model.apply(params, **edit_inputs, pnp=pnp_consume))
+        np.testing.assert_allclose(
+            edit_eps, fused[N_OBJ + 1 :], atol=5e-5,
+            err_msg=f"precomposited mismatch (inject_background={inject_bg})")

@@ -102,9 +102,9 @@ def build(preset: str):
                     for k, v in inputs.items()}
             _, variables = model.apply(
                 params, **{**src, "sample": sample[: n_obj + 1]},
-                pnp_capture=True, mutable=["pnp_features"])
+                pnp=pnp_state, pnp_capture=True, mutable=["pnp_features"])
             feats = {k: v[0] for k, v in variables["pnp_features"].items()}
-            pnp_c = dc.replace(pnp_state, mode="consume", features=feats)
+            pnp_c = dc.replace(pnp_state, mode="consume_pre", features=feats)
             lat_b = latents[None].astype(dtype)
             eps = model.apply(
                 params, **{**edit, "sample": jnp.concatenate([lat_b, lat_b], 0)},

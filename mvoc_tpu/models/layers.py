@@ -102,8 +102,12 @@ class GroupNorm(nn.Module):
         mean_ch = jnp.repeat(mean_g, c // g, axis=-1)     # [B, C]
         inv_ch = jnp.repeat(inv_g, c // g, axis=-1)
         bshape = (b,) + (1,) * len(spatial_axes) + (c,)
-        xn = ((xf - mean_ch.reshape(bshape)) * inv_ch.reshape(bshape)).astype(orig_dtype)
-        return xn * scale.astype(orig_dtype) + bias.astype(orig_dtype)
+        # fold scale/bias into per-channel fp32 coefficients, then do the
+        # full-tensor arithmetic in the INPUT dtype: one fused multiply-add,
+        # no full-size fp32 temps (torch fp16 GroupNorm behaves the same)
+        a_ch = (inv_ch * scale[None]).reshape(bshape).astype(orig_dtype)
+        b_ch = (bias[None] - mean_ch * inv_ch * scale[None]).reshape(bshape).astype(orig_dtype)
+        return x * a_ch + b_ch
 
 
 class LayerNorm(nn.Module):

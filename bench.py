@@ -88,10 +88,10 @@ def build(preset: str):
     pyr = {k: jnp.asarray(v) for k, v in pnp_lib.build_mask_pyramid(masks, res).items()}
     ddim = DDIM(SchedulerConfig())
 
-    def make_two_pass_step():
+    def make_two_pass_step(cached: bool = False):
         import dataclasses as dc
 
-        def step(params, sample, latents, gate):
+        def step(params, sample, latents, gate, caches=None):
             pnp_state = pnp_lib.PnPState(
                 masks=pyr, masks_soft=pyr,
                 gate_spatial=gate, gate_temporal=gate, gate_conv=gate,
@@ -100,22 +100,38 @@ def build(preset: str):
                    for k, v in inputs.items()}
             edit = {k: (v[n_obj + 1:] if hasattr(v, "shape") and v.shape[:1] == (B,) else v)
                     for k, v in inputs.items()}
-            _, variables = model.apply(
-                params, **{**src, "sample": sample[: n_obj + 1]},
-                pnp=pnp_state, pnp_capture=True, mutable=["pnp_features"])
+            src_kw = dict(pnp=pnp_state, pnp_capture=True, mutable=["pnp_features"])
+            if cached:
+                src_cache, edit_cache = caches
+                _, variables = model.apply(
+                    params, **{**src, "sample": sample[: n_obj + 1]},
+                    cached_encoder=src_cache, **src_kw)
+            else:
+                (_, src_cache), variables = model.apply(
+                    params, **{**src, "sample": sample[: n_obj + 1]},
+                    return_encoder=True, **src_kw)
             feats = {k: v[0] for k, v in variables["pnp_features"].items()}
             pnp_c = dc.replace(pnp_state, mode="consume_pre", features=feats)
             lat_b = latents[None].astype(dtype)
-            eps = model.apply(
-                params, **{**edit, "sample": jnp.concatenate([lat_b, lat_b], 0)},
-                pnp=pnp_c)
+            edit_sample = jnp.concatenate([lat_b, lat_b], 0)
+            if cached:
+                eps = model.apply(
+                    params, **{**edit, "sample": edit_sample},
+                    pnp=pnp_c, cached_encoder=edit_cache)
+            else:
+                eps, edit_cache = model.apply(
+                    params, **{**edit, "sample": edit_sample},
+                    pnp=pnp_c, return_encoder=True)
             eps_g = eps[0] + 9.0 * (eps[1] - eps[0])
             new_latents = ddim.step(eps_g, inputs["timestep"][0], latents, 50)
             new_sample = jnp.concatenate(
                 [sample[: n_obj + 1], new_latents[None].astype(dtype),
                  new_latents[None].astype(dtype)], axis=0)
-            return new_sample, new_latents
-        return jax.jit(step)
+            return new_sample, new_latents, (src_cache, edit_cache)
+        if cached:
+            return jax.jit(step)
+        return jax.jit(lambda params, sample, latents, gate: step(
+            params, sample, latents, gate))
 
     def make_step(cached: bool):
         def step(params, sample, latents, gate, cache=None):
@@ -168,15 +184,21 @@ def main():
 
     gate = jnp.asarray(True)  # traced input: injection work cannot be DCE'd
     if args.two_pass:
-        assert args.reuse == 1, "--two_pass and --reuse are exclusive"
-        tp = make_two_pass()
-        s, l = tp(params, sample, latents, gate)
+        tp = make_two_pass(cached=False)
+        tp_cached = make_two_pass(cached=True) if args.reuse > 1 else None
+        s, l, c = tp(params, sample, latents, gate)
         jax.block_until_ready((s, l))
+        if tp_cached is not None:
+            s2, l2, _ = tp_cached(params, s, l, gate, c)
+            jax.block_until_ready((s2, l2))
         import time as _time
 
         t0 = _time.perf_counter()
-        for _ in range(iters):
-            s, l = tp(params, s, l, gate)
+        for i in range(iters):
+            if tp_cached is not None and i % args.reuse != 0:
+                s, l, c = tp_cached(params, s, l, gate, c)
+            else:
+                s, l, c = tp(params, s, l, gate)
         jax.block_until_ready((s, l))
         dt = _time.perf_counter() - t0
         print(json.dumps({
@@ -184,7 +206,8 @@ def main():
                 "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
                 "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
                 "smoke": "composite_denoise_steps_per_sec_smoke",
-            }[args.preset] + "_two_pass",
+            }[args.preset] + "_two_pass"
+            + (f"_reuse{args.reuse}" if args.reuse > 1 else ""),
             "value": round(iters / dt, 4),
             "unit": "steps/s",
             "vs_baseline": None,

@@ -250,12 +250,15 @@ def pnp_composite_core(
     two_pass=True runs each step as capture(sources, batch N+1) then
     consume(edits, batch 2) — numerically identical to the fused batch
     (tested), with peak activation memory of max(N+1, 2) branches instead
-    of N+3.  Mutually exclusive with encoder reuse for now.
+    of N+3.  Composes with encoder reuse: since every encoder op is
+    per-batch-element (GroupNorm/attention never mix batch rows), caching
+    the source-pass (N+1) and edit-pass (2) encoders separately is exactly
+    the fused batch-(N+3) cache split in two — `init_encoder_cache` must
+    then be a (src_cache, edit_cache) tuple.
     """
     n_obj = masks_soft.shape[0]
     mask_b = masks_soft[..., None]  # [N, F, h, w, 1]
     reuse = encoder_reuse_interval > 1
-    assert not (two_pass and reuse), "two_pass and encoder reuse are exclusive (round 2)"
 
     def _slice_cond(c, lo, hi):
         return UNetConditioning(
@@ -316,8 +319,7 @@ def pnp_composite_core(
             # PRE-COMPOSITED capture (pnp passed alongside pnp_capture):
             # each site stores ONE branch-equivalent S with
             # inj = base*W + S — ~(N+1)x less feature memory than raw capture
-            _, variables = unet_apply(
-                unet_params,
+            src_kwargs = dict(
                 sample=src_inp,
                 timestep=t,
                 fps=src_cond.fps,
@@ -327,15 +329,34 @@ def pnp_composite_core(
                 encoder_hidden_states=src_cond.encoder_hidden_states,
                 pnp=pnp_state,
                 pnp_capture=True,
-                mutable=["pnp_features"],
             )
-            feats = {k: v[0] for k, v in variables["pnp_features"].items()}
-            import dataclasses as _dc
+            if reuse:
+                src_cache, edit_cache = cache
+                fresh = (i % encoder_reuse_interval) == 0
 
-            pnp_consume = _dc.replace(pnp_state, mode="consume_pre", features=feats)
+                def src_fresh(c):
+                    (_, enc), variables = unet_apply(
+                        unet_params, **src_kwargs, return_encoder=True,
+                        mutable=["pnp_features"])
+                    return variables, enc
+
+                def src_cached(c):
+                    _, variables = unet_apply(
+                        unet_params, **src_kwargs, cached_encoder=c,
+                        mutable=["pnp_features"])
+                    return variables, c
+
+                variables, src_cache = jax.lax.cond(
+                    fresh, src_fresh, src_cached, src_cache)
+            else:
+                _, variables = unet_apply(
+                    unet_params, **src_kwargs, mutable=["pnp_features"])
+            feats = {k: v[0] for k, v in variables["pnp_features"].items()}
+
+            pnp_consume = dataclasses.replace(
+                pnp_state, mode="consume_pre", features=feats)
             edit_inp = jnp.concatenate([latents[None], latents[None]], axis=0)
-            eps_edit = unet_apply(
-                unet_params,
+            edit_kwargs = dict(
                 sample=edit_inp,
                 timestep=t,
                 fps=edit_cond.fps,
@@ -345,9 +366,24 @@ def pnp_composite_core(
                 encoder_hidden_states=edit_cond.encoder_hidden_states,
                 pnp=pnp_consume,
             )
+            if reuse:
+                def edit_fresh(c):
+                    return unet_apply(unet_params, **edit_kwargs,
+                                      return_encoder=True)
+
+                def edit_cached(c):
+                    return unet_apply(unet_params, **edit_kwargs,
+                                      cached_encoder=c), c
+
+                eps_edit, edit_cache = jax.lax.cond(
+                    fresh, edit_fresh, edit_cached, edit_cache)
+            else:
+                eps_edit = unet_apply(unet_params, **edit_kwargs)
             eps_neg, eps_pos = eps_edit[0], eps_edit[1]
             eps_g = eps_neg + guidance_scale * (eps_pos - eps_neg)
             nxt = ddim.step(eps_g, t, latents, num_inference_steps)
+            if reuse:
+                return (nxt, (src_cache, edit_cache)), None
             return nxt, None
 
         kwargs = dict(

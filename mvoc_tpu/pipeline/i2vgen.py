@@ -590,9 +590,17 @@ class I2VGenXLPipeline:
 
         init_cache = None
         if encoder_reuse_interval > 1:
-            init_cache = self._encoder_cache_zeros(
-                n_obj + 3, num_frames,
-                height // self.vae_scale_factor, width // self.vae_scale_factor)
+            h_l = height // self.vae_scale_factor
+            w_l = width // self.vae_scale_factor
+            if two_pass:
+                # separate source-pass / edit-pass caches (see core.py)
+                init_cache = (
+                    self._encoder_cache_zeros(n_obj + 1, num_frames, h_l, w_l),
+                    self._encoder_cache_zeros(2, num_frames, h_l, w_l),
+                )
+            else:
+                init_cache = self._encoder_cache_zeros(
+                    n_obj + 3, num_frames, h_l, w_l)
 
         composite_fn = jax.jit(
             lambda p, lat, c, s, ms: core.pnp_composite_core(

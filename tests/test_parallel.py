@@ -55,3 +55,28 @@ def test_sharded_unet_matches_single_device(rng):
         jax.tree.map(lambda x: x.sharding.spec, sharded_params)
     )
     assert any(pm.MODEL_AXIS in str(s) for s in specs), "no TP sharding applied"
+
+
+def test_ring_attention_matches_full(rng):
+    """Ring attention over the 8-device mesh == plain sdpa, exactly (online
+    softmax is exact, not approximate)."""
+    from mvoc_tpu.models.layers import sdpa
+    from mvoc_tpu.ops.ring_attention import ring_sdpa
+
+    heads, d = 2, 8
+    B, S = 3, 64  # long-video frame axis, divisible by the seq axis
+
+    def mk(*shape):
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+
+    q, k, v = mk(B, S, heads * d), mk(B, S, heads * d), mk(B, S, heads * d)
+    ref = np.asarray(sdpa(q, k, v, heads))
+
+    m = pm.make_mesh(8, seq=8)
+    out = np.asarray(ring_sdpa(q, k, v, heads, m, axis_name=pm.SEQ_AXIS))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    # also on a 2-wide ring inside a mixed (seq, model) mesh
+    m2 = pm.make_mesh(8, seq=2)
+    out2 = np.asarray(ring_sdpa(q, k, v, heads, m2, axis_name=pm.SEQ_AXIS))
+    np.testing.assert_allclose(out2, ref, atol=2e-5)

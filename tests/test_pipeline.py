@@ -461,3 +461,75 @@ def test_composite_two_pass_equals_fused(pipe, cond1):
     fused = run(False)
     two = run(True)
     np.testing.assert_allclose(two, fused, atol=5e-4)
+
+
+def test_composite_two_pass_with_encoder_reuse(pipe, cond1):
+    """two_pass + encoder reuse == fused + encoder reuse, exactly: the
+    encoder is per-batch-element, so split (src, edit) caches are the fused
+    batch cache in two pieces."""
+    rng = np.random.default_rng(16)
+    n_obj = 2
+    ddim = DDIM(SchedulerConfig())
+    run_ts = sampling_timesteps(SchedulerConfig(), N_STEPS)[:4]
+    S = len(run_ts)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s, dtype=np.float32))
+
+    condN = core.UNetConditioning(
+        encoder_hidden_states=mk(n_obj + 3, 7, 16),
+        image_latents_first=mk(n_obj + 3, F, LAT, LAT, 4),
+        image_latents=mk(n_obj + 3, F, LAT, LAT, 4),
+        image_embeddings=mk(n_obj + 3, F, 16),
+        fps=jnp.asarray([8] * (n_obj + 3)),
+    )
+    from mvoc_tpu import pnp as pnp_lib
+
+    masks_soft = np.zeros((n_obj, F, LAT, LAT), np.float32)
+    masks_soft[0, :, : LAT // 2] = 1.0
+    masks_soft[1, :, :, : LAT // 2] = 1.0
+    res = [(LAT, LAT), (LAT // 2, LAT // 2), (LAT // 4, LAT // 4)]
+    pyr = {k: jnp.asarray(v) for k, v in pnp_lib.build_mask_pyramid(masks_soft, res).items()}
+    on = jnp.ones((S,), bool)
+    sched = core.CompositeSchedule(
+        bg_traj=mk(S, F, LAT, LAT, 4), obj_traj=mk(S, n_obj, F, LAT, LAT, 4),
+        obj_fusion_lat=mk(n_obj, F, LAT, LAT, 4),
+        gate_spatial=on, gate_temporal=on, gate_conv=on,
+        fusion_mask=jnp.asarray([True] + [False] * (S - 1)),
+        timesteps=jnp.asarray(run_ts),
+    )
+    xT = mk(F, LAT, LAT, 4)
+
+    def cache_zeros(nb):
+        def fn():
+            z = jnp.zeros((nb, F, LAT, LAT, 4))
+            _, c = pipe.unet.apply(
+                pipe.params["unet"], sample=z, timestep=jnp.zeros((), jnp.int32),
+                fps=condN.fps[:nb],
+                image_latents_first=condN.image_latents_first[:nb],
+                image_latents=condN.image_latents[:nb],
+                image_embeddings=condN.image_embeddings[:nb],
+                encoder_hidden_states=condN.encoder_hidden_states[:nb],
+                return_encoder=True)
+            return c
+
+        shapes = jax.eval_shape(fn)
+        return jax.tree.map(lambda c: jnp.zeros(c.shape, c.dtype), shapes)
+
+    def run(two_pass, interval, cache):
+        return np.asarray(core.pnp_composite_core(
+            pipe._unet_apply, ddim, pipe.params["unet"], xT, condN, sched,
+            jnp.asarray(masks_soft), pyr, pyr,
+            num_inference_steps=N_STEPS, guidance_scale=3.0,
+            random_noise_ratio=0.3, two_pass=two_pass,
+            encoder_reuse_interval=interval, init_encoder_cache=cache,
+        ))
+
+    fused_reuse = run(False, 2, cache_zeros(n_obj + 3))
+    two_reuse = run(True, 2, (cache_zeros(n_obj + 1), cache_zeros(2)))
+    exact = run(False, 1, None)
+    np.testing.assert_allclose(two_reuse, fused_reuse, atol=5e-4)
+    # reuse actually approximates (differs from exact) yet stays correlated
+    assert np.abs(fused_reuse - exact).max() > 1e-6
+    corr = np.corrcoef(fused_reuse.ravel(), exact.ravel())[0, 1]
+    assert corr > 0.8, corr

@@ -34,7 +34,7 @@ import numpy as np
 REFERENCE_STEPS_PER_SEC_ESTIMATE = 0.55  # est. reference fp16 A100, batch-5 @16f/512px
 
 
-def build(preset: str):
+def build(preset: str, natural: bool = False):
     import jax
 
     # persistent compilation cache: repeated bench runs skip the ~15 min
@@ -49,17 +49,20 @@ def build(preset: str):
     from mvoc_tpu.ops.ddim import DDIM, SchedulerConfig
 
     if preset == "full":
-        cfg = UNetConfig()
+        cfg = UNetConfig(temporal_natural_layout=natural)
         F, H, W = 16, 64, 64  # 512px @ /8
         dtype = jnp.bfloat16
     elif preset == "full720":
         # the reference's working resolution: 1280x720 -> 90x160 latents
         # (demo configs, reference: group_inversion/group_config.json:7-11)
-        cfg = UNetConfig()
+        cfg = UNetConfig(temporal_natural_layout=natural)
         F, H, W = 16, 90, 160
         dtype = jnp.bfloat16
     else:
         cfg = UNetConfig.tiny()
+        if natural:
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, temporal_natural_layout=True)
         F, H, W = 4, 8, 8
         dtype = jnp.float32
 
@@ -80,6 +83,13 @@ def build(preset: str):
         encoder_hidden_states=mk(B, 77, cfg.cross_attention_dim),
     )
     params = jax.jit(lambda: model.init(jax.random.key(0), **inputs))()
+    if dtype == jnp.bfloat16:
+        # match the checkpoint path: params live in bf16 (flax init gives
+        # fp32 — 5.3 GB of the 1.4B-param UNet; compute casts to bf16
+        # regardless, so this only changes storage)
+        params = jax.jit(lambda p: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, p))(params)
 
     masks = np.zeros((n_obj, F, H, W), np.float32)
     masks[0, :, : H // 2] = 1.0
@@ -88,7 +98,7 @@ def build(preset: str):
     pyr = {k: jnp.asarray(v) for k, v in pnp_lib.build_mask_pyramid(masks, res).items()}
     ddim = DDIM(SchedulerConfig())
 
-    def make_two_pass_step(cached: bool = False):
+    def make_two_pass_step(cached: bool = False, want_cache: bool = False):
         import dataclasses as dc
 
         def step(params, sample, latents, gate, caches=None):
@@ -106,10 +116,14 @@ def build(preset: str):
                 _, variables = model.apply(
                     params, **{**src, "sample": sample[: n_obj + 1]},
                     cached_encoder=src_cache, **src_kw)
-            else:
+            elif want_cache:
                 (_, src_cache), variables = model.apply(
                     params, **{**src, "sample": sample[: n_obj + 1]},
                     return_encoder=True, **src_kw)
+            else:
+                # no caches returned: keeps output size (and live HBM) minimal
+                _, variables = model.apply(
+                    params, **{**src, "sample": sample[: n_obj + 1]}, **src_kw)
             feats = {k: v[0] for k, v in variables["pnp_features"].items()}
             pnp_c = dc.replace(pnp_state, mode="consume_pre", features=feats)
             lat_b = latents[None].astype(dtype)
@@ -118,16 +132,127 @@ def build(preset: str):
                 eps = model.apply(
                     params, **{**edit, "sample": edit_sample},
                     pnp=pnp_c, cached_encoder=edit_cache)
-            else:
+            elif want_cache:
                 eps, edit_cache = model.apply(
                     params, **{**edit, "sample": edit_sample},
                     pnp=pnp_c, return_encoder=True)
+            else:
+                eps = model.apply(
+                    params, **{**edit, "sample": edit_sample}, pnp=pnp_c)
             eps_g = eps[0] + 9.0 * (eps[1] - eps[0])
             new_latents = ddim.step(eps_g, inputs["timestep"][0], latents, 50)
             new_sample = jnp.concatenate(
                 [sample[: n_obj + 1], new_latents[None].astype(dtype),
                  new_latents[None].astype(dtype)], axis=0)
+            if not (cached or want_cache):
+                return new_sample, new_latents
             return new_sample, new_latents, (src_cache, edit_cache)
+        if cached:
+            return jax.jit(step)
+        return jax.jit(lambda params, sample, latents, gate: step(
+            params, sample, latents, gate))
+
+    def make_stream_step(cached: bool = False, want_cache: bool = False):
+        """two_pass='stream': scan capture over source branches (batch 1) —
+        peak activation memory of ONE branch; consume on the 2 edit
+        branches (see pipeline/core.py stream path).  cached/want_cache add
+        encoder reuse with per-branch batch-1 caches."""
+        import dataclasses as dc
+
+        cw = pnp_lib.build_capture_weights(pyr, pyr, inject_background=True)
+
+        def step(params, sample, latents, gate, caches=None):
+            pnp_state = pnp_lib.PnPState(
+                masks=pyr, masks_soft=pyr,
+                gate_spatial=gate, gate_temporal=gate, gate_conv=gate,
+            )
+            src = {k: (v[: n_obj + 1] if hasattr(v, "shape") and v.shape[:1] == (B,) else v)
+                   for k, v in inputs.items()}
+            edit = {k: (v[n_obj + 1:] if hasattr(v, "shape") and v.shape[:1] == (B,) else v)
+                    for k, v in inputs.items()}
+
+            def branch_apply(inp_b, cond_b, wgt_b, cache_b=None, ret=False):
+                pnp_b = dc.replace(pnp_state, capture_weight=wgt_b)
+                kw = dict(
+                    sample=inp_b[None],
+                    timestep=inputs["timestep"][:1], fps=inputs["fps"][:1],
+                    image_latents_first=cond_b["image_latents_first"][None],
+                    image_latents=cond_b["image_latents"][None],
+                    image_embeddings=cond_b["image_embeddings"][None],
+                    encoder_hidden_states=cond_b["encoder_hidden_states"][None],
+                    pnp=pnp_b, pnp_capture=True, mutable=["pnp_features"])
+                if ret:
+                    (_, enc), variables = model.apply(
+                        params, **kw, return_encoder=True)
+                    return ({k: v[0] for k, v in variables["pnp_features"].items()},
+                            enc)
+                if cache_b is not None:
+                    _, variables = model.apply(params, **kw, cached_encoder=cache_b)
+                else:
+                    _, variables = model.apply(params, **kw)
+                return {k: v[0] for k, v in variables["pnp_features"].items()}
+
+            cond_fields = ["image_latents_first", "image_latents",
+                           "image_embeddings", "encoder_hidden_states"]
+            cond_stack = {k: src[k] for k in cond_fields}
+            feats_shapes = jax.eval_shape(
+                lambda: branch_apply(
+                    sample[0], {k: v[0] for k, v in cond_stack.items()},
+                    jax.tree.map(lambda x: x[0], cw)))
+            feats0 = jax.tree.map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype), feats_shapes)
+
+            if cached or want_cache:
+                src_caches, edit_cache = caches if cached else (None, None)
+
+                if cached:
+                    def cap_body(acc, xs_b):
+                        inp_b, cond_b, wgt_b, cache_b = xs_b
+                        f_b = branch_apply(inp_b, cond_b, wgt_b, cache_b=cache_b)
+                        return (jax.tree.map(lambda a, b: a + b, acc, f_b),
+                                cache_b)
+                    feats, src_caches = jax.lax.scan(
+                        cap_body, feats0,
+                        (sample[: n_obj + 1], cond_stack, cw, src_caches))
+                else:
+                    def cap_body(acc, xs_b):
+                        inp_b, cond_b, wgt_b = xs_b
+                        f_b, enc = branch_apply(inp_b, cond_b, wgt_b, ret=True)
+                        return (jax.tree.map(lambda a, b: a + b, acc, f_b),
+                                enc)
+                    feats, src_caches = jax.lax.scan(
+                        cap_body, feats0, (sample[: n_obj + 1], cond_stack, cw))
+            else:
+                def cap_body(acc, xs_b):
+                    inp_b, cond_b, wgt_b = xs_b
+                    f_b = branch_apply(inp_b, cond_b, wgt_b)
+                    return jax.tree.map(lambda a, b: a + b, acc, f_b), None
+
+                feats, _ = jax.lax.scan(
+                    cap_body, feats0, (sample[: n_obj + 1], cond_stack, cw))
+
+            pnp_c = dc.replace(pnp_state, mode="consume_pre", features=feats)
+            lat_b = latents[None].astype(dtype)
+            edit_sample = jnp.concatenate([lat_b, lat_b], 0)
+            if cached:
+                eps = model.apply(
+                    params, **{**edit, "sample": edit_sample},
+                    pnp=pnp_c, cached_encoder=edit_cache)
+            elif want_cache:
+                eps, edit_cache = model.apply(
+                    params, **{**edit, "sample": edit_sample},
+                    pnp=pnp_c, return_encoder=True)
+            else:
+                eps = model.apply(
+                    params, **{**edit, "sample": edit_sample}, pnp=pnp_c)
+            eps_g = eps[0] + 9.0 * (eps[1] - eps[0])
+            new_latents = ddim.step(eps_g, inputs["timestep"][0], latents, 50)
+            new_sample = jnp.concatenate(
+                [sample[: n_obj + 1], new_latents[None].astype(dtype),
+                 new_latents[None].astype(dtype)], axis=0)
+            if not (cached or want_cache):
+                return new_sample, new_latents
+            return new_sample, new_latents, (src_caches, edit_cache)
         if cached:
             return jax.jit(step)
         return jax.jit(lambda params, sample, latents, gate: step(
@@ -161,7 +286,8 @@ def build(preset: str):
             params, sample, latents, gate))
 
     latents = inputs["sample"][0].astype(jnp.float32)
-    return make_step, make_two_pass_step, params, inputs["sample"], latents
+    return (make_step, make_two_pass_step, make_stream_step, params,
+            inputs["sample"], latents)
 
 
 def main():
@@ -174,19 +300,69 @@ def main():
     ap.add_argument("--two_pass", action="store_true",
                     help="capture sources then consume on edits (exact; "
                     "lower peak memory)")
+    ap.add_argument("--stream", action="store_true",
+                    help="two-pass with streamed per-branch capture "
+                    "(exact; one-branch peak memory)")
+    ap.add_argument("--natural", action="store_true",
+                    help="frame-major temporal transformers (no layout "
+                    "transposes at non-edit sites; exact)")
     args = ap.parse_args()
 
     import jax
 
     iters = args.iters or (10 if args.preset.startswith("full") else 2)
-    make_step, make_two_pass, params, sample, latents = build(args.preset)
+    make_step, make_two_pass, make_stream, params, sample, latents = build(
+        args.preset, natural=args.natural)
     import jax.numpy as jnp
 
     gate = jnp.asarray(True)  # traced input: injection work cannot be DCE'd
+    if args.stream:
+        want_cache = args.reuse > 1
+        st = make_stream(cached=False, want_cache=want_cache)
+        st_cached = make_stream(cached=True) if want_cache else None
+        c = None
+        if want_cache:
+            s, l, c = st(params, sample, latents, gate)
+        else:
+            s, l = st(params, sample, latents, gate)
+        jax.block_until_ready((s, l))
+        if st_cached is not None:
+            s2, l2, _ = st_cached(params, s, l, gate, c)
+            jax.block_until_ready((s2, l2))
+        import time as _time
+
+        t0 = _time.perf_counter()
+        for i in range(iters):
+            if st_cached is not None and i % args.reuse != 0:
+                s, l, c = st_cached(params, s, l, gate, c)
+            elif want_cache:
+                s, l, c = st(params, s, l, gate)
+            else:
+                s, l = st(params, s, l, gate)
+        jax.block_until_ready((s, l))
+        dt = _time.perf_counter() - t0
+        print(json.dumps({
+            "metric": {
+                "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
+                "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
+                "smoke": "composite_denoise_steps_per_sec_smoke",
+            }[args.preset] + "_stream"
+            + (f"_reuse{args.reuse}" if args.reuse > 1 else "")
+            + ("_natural" if args.natural else ""),
+            "value": round(iters / dt, 4),
+            "unit": "steps/s",
+            "vs_baseline": None,
+        }))
+        return
     if args.two_pass:
-        tp = make_two_pass(cached=False)
-        tp_cached = make_two_pass(cached=True) if args.reuse > 1 else None
-        s, l, c = tp(params, sample, latents, gate)
+        want_cache = args.reuse > 1
+        tp = make_two_pass(cached=False, want_cache=want_cache)
+        tp_cached = make_two_pass(cached=True) if want_cache else None
+        c = None
+        if want_cache:
+            s, l, c = tp(params, sample, latents, gate)
+        else:
+            s, l = tp(params, sample, latents, gate)
         jax.block_until_ready((s, l))
         if tp_cached is not None:
             s2, l2, _ = tp_cached(params, s, l, gate, c)
@@ -197,8 +373,10 @@ def main():
         for i in range(iters):
             if tp_cached is not None and i % args.reuse != 0:
                 s, l, c = tp_cached(params, s, l, gate, c)
-            else:
+            elif want_cache:
                 s, l, c = tp(params, s, l, gate)
+            else:
+                s, l = tp(params, s, l, gate)
         jax.block_until_ready((s, l))
         dt = _time.perf_counter() - t0
         print(json.dumps({
@@ -207,7 +385,8 @@ def main():
                 "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
                 "smoke": "composite_denoise_steps_per_sec_smoke",
             }[args.preset] + "_two_pass"
-            + (f"_reuse{args.reuse}" if args.reuse > 1 else ""),
+            + (f"_reuse{args.reuse}" if args.reuse > 1 else "")
+            + ("_natural" if args.natural else ""),
             "value": round(iters / dt, 4),
             "unit": "steps/s",
             "vs_baseline": None,
@@ -239,7 +418,8 @@ def main():
             "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
             "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
             "smoke": "composite_denoise_steps_per_sec_smoke",
-        }[args.preset] + (f"_reuse{args.reuse}" if args.reuse > 1 else ""),
+        }[args.preset] + (f"_reuse{args.reuse}" if args.reuse > 1 else "")
+        + ("_natural" if args.natural else ""),
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3)

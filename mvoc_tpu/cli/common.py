@@ -72,3 +72,26 @@ def check_replaceme(cfg) -> None:
     bad = cfglib.check_no_replaceme(cfg, logger)
     for k in bad:
         logger.error("field %s still contains 'ReplaceMe'", k)
+
+
+def apply_unet_options(pipe, template_cfg):
+    """Apply template-level UNet compute options that don't change params:
+    `temporal_window` (windowed temporal attention for long videos) and
+    `temporal_natural_layout` (frame-major temporal transformers).  The
+    checkpoint's weights are reused as-is — both flags only change how the
+    same parameters are applied."""
+    import dataclasses
+
+    opts = {}
+    if template_cfg.get("temporal_window", None) is not None:
+        opts["temporal_window"] = int(template_cfg.get("temporal_window"))
+    if template_cfg.get("temporal_natural_layout", False):
+        opts["temporal_natural_layout"] = True
+    if opts:
+        from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet
+
+        new_cfg = dataclasses.replace(pipe.unet.config, **opts)
+        pipe.unet = I2VGenXLUNet(new_cfg, dtype=pipe.unet.dtype)
+        pipe._build_jits()
+        logger.info("UNet options applied: %s", opts)
+    return pipe

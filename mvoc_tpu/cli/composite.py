@@ -129,6 +129,7 @@ def main() -> None:
     template, entries = common.load_configs(args)
     common.setup_logging(template)
     pipe = common.build_pipeline(args, template)
+    pipe = common.apply_unet_options(pipe, template)
 
     for entry in entries:
         if not entry.get("active", True):

@@ -127,6 +127,7 @@ def main() -> None:
     template, entries = common.load_configs(args)
     common.setup_logging(template)
     pipe = common.build_pipeline(args, template)
+    pipe = common.apply_unet_options(pipe, template)
 
     from mvoc_tpu.utils.profiling import StepTimer, save_run_config, trace
 

@@ -191,6 +191,42 @@ def sdpa(
     return jnp.concatenate(outs, axis=0)
 
 
+def sdpa_frames(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Attention across the FRAME axis of [B, F, S, H*D] tokens without
+    re-laying the tensor out as [B*S, F, H*D] first.
+
+    The standard temporal path transposes [B, F, H, W, C] -> [B*H*W, F, C]
+    before/after every temporal transformer; those layout copies are ~14%
+    of a composite step at 512px.  Here the tokens stay frame-major and the
+    frame-vs-frame contraction is expressed directly — XLA folds the
+    layout change into the matmuls instead of materializing copies.
+    mask: optional [F, F] boolean (windowed temporal attention).
+    """
+    b, f, s, inner = q.shape
+    d = inner // heads
+    scale = 1.0 / math.sqrt(d)
+    qh = q.reshape(b, f, s, heads, d)
+    kh = k.reshape(b, f, s, heads, d)
+    vh = v.reshape(b, f, s, heads, d)
+    # logits laid out with the long s axis minor: [B, H, F, G, S] — the tiny
+    # f/g axes stay off the 128-lane dim, so no 8x tile-padding blowup.
+    logits = jnp.einsum(
+        "bfshd,bgshd->bhfgs", qh, kh, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = jnp.where(mask[None, None, :, :, None], logits,
+                           jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=3).astype(v.dtype)
+    out = jnp.einsum("bhfgs,bgshd->bfshd", probs, vh)
+    return out.reshape(b, f, s, inner)
+
+
 class Attention(nn.Module):
     """Multi-head attention (diffusers `Attention`): to_q/to_k/to_v without
     bias, to_out.0 with bias.  Optional cross-attention context; optional
@@ -202,6 +238,9 @@ class Attention(nn.Module):
     dim_head: int
     cross_attention_dim: Optional[int] = None  # None -> self attention
     out_bias: bool = True
+    # frame-axis self-attention over [B, F, S, C] tokens (no [B*S, F, C]
+    # layout transpose) — see sdpa_frames
+    frame_axis: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -219,7 +258,10 @@ class Attention(nn.Module):
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
         if qk_edit is not None:
             q, k = qk_edit(q, k)
-        out = sdpa(q, k, v, self.heads, mask=attn_mask)
+        if self.frame_axis:
+            out = sdpa_frames(q, k, v, self.heads, mask=attn_mask)
+        else:
+            out = sdpa(q, k, v, self.heads, mask=attn_mask)
         out = nn.Dense(self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0")(out)
         return out
 
@@ -289,6 +331,7 @@ class BasicTransformerBlock(nn.Module):
     double_self_attention: bool = False
     activation: str = "geglu"
     ff_chunk_rows: int = 0
+    frame_axis: bool = False  # tokens are [B, F, S, C]; attend across F
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -302,7 +345,7 @@ class BasicTransformerBlock(nn.Module):
         h = LayerNorm(dtype=self.dtype, name="norm1")(hidden_states)
         h = Attention(
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
-            dtype=self.dtype, name="attn1",
+            frame_axis=self.frame_axis, dtype=self.dtype, name="attn1",
         )(h, qk_edit=attn1_qk_edit, attn_mask=attn_mask)
         hidden_states = h + hidden_states
 
@@ -311,7 +354,7 @@ class BasicTransformerBlock(nn.Module):
         h = Attention(
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             cross_attention_dim=None if self.double_self_attention else self.cross_attention_dim,
-            dtype=self.dtype, name="attn2",
+            frame_axis=self.frame_axis, dtype=self.dtype, name="attn2",
         )(h, encoder_hidden_states=ctx,
           attn_mask=attn_mask if self.double_self_attention else None)
         hidden_states = h + hidden_states
@@ -381,6 +424,11 @@ class TransformerTemporalModel(nn.Module):
     # keeping temporal attention O(F*window) for 64+ frame configs.
     window: Optional[int] = None
     ff_chunk_rows: int = 0
+    # keep tokens frame-major [B, F, H*W, C] and attend across F directly
+    # (sdpa_frames) instead of transposing to [B*H*W, F, C] — same math,
+    # no standalone layout copies.  Callers passing attn1_qk_edit must
+    # build the edit for this layout (unet_i2vgen._temporal_qk_edit_natural).
+    natural_layout: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -394,11 +442,15 @@ class TransformerTemporalModel(nn.Module):
         b = bf // num_frames
         inner = self.heads * self.dim_head
         residual = hidden_states
+        natural = self.natural_layout
         # 5D groupnorm: stats over (F, H, W, C/G) per batch element.
         x = hidden_states.reshape(b, num_frames, h, w, c)
         x = GroupNorm(self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        # [B, F, H, W, C] -> [B*H*W, F, C]
-        x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, num_frames, c)
+        if natural:
+            x = x.reshape(b, num_frames, h * w, c)  # layout-preserving
+        else:
+            # [B, F, H, W, C] -> [B*H*W, F, C]
+            x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, num_frames, c)
         x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
         attn_mask = None
         if self.window is not None and self.window < num_frames:
@@ -409,11 +461,15 @@ class TransformerTemporalModel(nn.Module):
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
                 double_self_attention=True,
                 ff_chunk_rows=self.ff_chunk_rows,
+                frame_axis=natural,
                 dtype=self.dtype, name=f"transformer_blocks_{i}",
             )(x, attn1_qk_edit=attn1_qk_edit if i == 0 else None,
               attn_mask=attn_mask)
         x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
-        x = x.reshape(b, h, w, num_frames, c).transpose(0, 3, 1, 2, 4).reshape(bf, h, w, c)
+        if natural:
+            x = x.reshape(bf, h, w, c)
+        else:
+            x = x.reshape(b, h, w, num_frames, c).transpose(0, 3, 1, 2, 4).reshape(bf, h, w, c)
         return x + residual
 
 

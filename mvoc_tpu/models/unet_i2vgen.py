@@ -79,6 +79,10 @@ class UNetConfig:
     # the flattened token axis); 0 disables. 32768 rows * 2*inner(2560)
     # bf16 = 168 MB peak at the widest block — fits 720p on one 16 GB chip.
     ff_chunk_rows: int = 32768
+    # frame-major temporal transformers (no [B*H*W, F, C] layout transpose;
+    # see layers.TransformerTemporalModel.natural_layout).  PnP temporal
+    # edits run in the same layout via _temporal_qk_edit_natural — exact.
+    temporal_natural_layout: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -180,6 +184,7 @@ class CrossAttnDownBlock3D(nn.Module):
     norm_eps: float
     ff_chunk_rows: int = 0
     temporal_window: Optional[int] = None
+    temporal_natural_layout: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -203,6 +208,7 @@ class CrossAttnDownBlock3D(nn.Module):
                 self.out_channels, self.heads, self.dim_head,
                 norm_num_groups=self.norm_num_groups, window=self.temporal_window,
                 ff_chunk_rows=self.ff_chunk_rows,
+                natural_layout=self.temporal_natural_layout,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames)
             res_samples.append(x)
@@ -222,6 +228,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     num_layers: int = 1
     ff_chunk_rows: int = 0
     temporal_window: Optional[int] = None
+    temporal_natural_layout: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -243,6 +250,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 self.channels, self.heads, self.dim_head,
                 norm_num_groups=self.norm_num_groups, window=self.temporal_window,
                 ff_chunk_rows=self.ff_chunk_rows,
+                natural_layout=self.temporal_natural_layout,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames)
             x = ResnetBlock2D(
@@ -316,6 +324,11 @@ def _capture_act(rec, site_id):
 
 def _spatial_qk_edit(pnp, h, w, site_id=None, rec=None):
     if rec is not None:
+        if pnp is not None and pnp.capture_weight is not None:
+            def cap_stream(q, k):
+                rec[site_id] = pnp_lib.stream_capture_spatial(q, k, pnp, h, w)
+                return q, k
+            return cap_stream
         if pnp is not None:  # pre-composited capture: store S, 1 branch-equiv
             def cap(q, k):
                 rec[site_id] = pnp_lib.precomposite_spatial(q, k, pnp, h, w)
@@ -333,8 +346,15 @@ def _spatial_qk_edit(pnp, h, w, site_id=None, rec=None):
     return lambda q, k: pnp_lib.inject_spatial_qk(q, k, pnp, h, w)
 
 
-def _temporal_qk_edit(pnp, h, w, site_id=None, rec=None):
+def _temporal_qk_edit(pnp, h, w, site_id=None, rec=None, natural=False):
+    if natural:
+        return _temporal_qk_edit_natural(pnp, h, w, site_id, rec)
     if rec is not None:
+        if pnp is not None and pnp.capture_weight is not None:
+            def cap_stream(q, k):
+                rec[site_id] = pnp_lib.stream_capture_temporal(q, k, pnp, h, w)
+                return q, k
+            return cap_stream
         if pnp is not None:
             def cap(q, k):
                 rec[site_id] = pnp_lib.precomposite_temporal(q, k, pnp, h, w)
@@ -352,8 +372,68 @@ def _temporal_qk_edit(pnp, h, w, site_id=None, rec=None):
     return lambda q, k: pnp_lib.inject_temporal_qk(q, k, pnp, h, w)
 
 
+def _temporal_qk_edit_natural(pnp, h, w, site_id=None, rec=None):
+    """Temporal Q/K edit for frame-major tokens [B, F, hw, C]: flattening the
+    leading (B, F) axes gives exactly the SPATIAL edit layout, so the spatial
+    edit/capture/consume functions apply with the soft mask and the temporal
+    gate (the semantics the reference uses at temporal sites —
+    pnp_utils.py:805-809)."""
+
+    def flat(fn):
+        def wrapped(q, k):
+            B, f, hw, c = q.shape
+            q2, k2 = fn(q.reshape(B * f, hw, c), k.reshape(B * f, hw, c))
+            return q2.reshape(B, f, hw, c), k2.reshape(B, f, hw, c)
+        return wrapped
+
+    if rec is not None:
+        if pnp is not None and pnp.capture_weight is not None:
+            def cap_stream(q, k):
+                B, f, hw, c = q.shape
+                rec[site_id] = pnp_lib.stream_capture_temporal_natural(
+                    q.reshape(B * f, hw, c), k.reshape(B * f, hw, c), pnp, h, w)
+                return q, k
+            return cap_stream
+        if pnp is not None:
+            def cap(q, k):
+                B, f, hw, c = q.shape
+                rec[site_id] = pnp_lib.precomposite_spatial(
+                    q.reshape(B * f, hw, c), k.reshape(B * f, hw, c),
+                    pnp, h, w, soft=True)
+                return q, k
+            return cap
+
+        def cap_raw(q, k):
+            rec[site_id] = (q, k)
+            return q, k
+        return cap_raw
+    if pnp is None:
+        return None
+    gate = pnp.gate_temporal
+    if pnp.mode == "consume":
+        fq, fk = pnp.features[site_id]
+
+        def consume(q2, k2):
+            fq2 = fq.reshape(-1, q2.shape[1], q2.shape[2])
+            fk2 = fk.reshape(-1, k2.shape[1], k2.shape[2])
+            return pnp_lib.consume_spatial_qk(
+                q2, k2, fq2, fk2, pnp, h, w, soft=True, gate=gate)
+        return flat(consume)
+    if pnp.mode == "consume_pre":
+        sq, sk = pnp.features[site_id]
+        return flat(lambda q2, k2: pnp_lib.consume_spatial_precomposited(
+            q2, k2, sq, sk, pnp, h, w, soft=True, gate=gate))
+    return flat(lambda q2, k2: pnp_lib.inject_spatial_qk(
+        q2, k2, pnp, h, w, soft=True, gate=gate))
+
+
 def _conv_edit(pnp, h, w, site_id=None, rec=None):
     if rec is not None:
+        if pnp is not None and pnp.capture_weight is not None:
+            def cap_stream(x):
+                rec[site_id] = pnp_lib.stream_capture_conv(x, pnp, h, w)
+                return x
+            return cap_stream
         if pnp is not None:
             def cap(x):
                 rec[site_id] = pnp_lib.precomposite_conv(x, pnp, h, w)
@@ -416,6 +496,7 @@ class CrossAttnUpBlock3D(nn.Module):
     block_index: int = 0
     ff_chunk_rows: int = 0
     temporal_window: Optional[int] = None
+    temporal_natural_layout: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -453,10 +534,12 @@ class CrossAttnUpBlock3D(nn.Module):
                 self.out_channels, self.heads, self.dim_head,
                 norm_num_groups=self.norm_num_groups, window=self.temporal_window,
                 ff_chunk_rows=self.ff_chunk_rows,
+                natural_layout=self.temporal_natural_layout,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames,
               attn1_qk_edit=_temporal_qk_edit(
-                  pnp, hcur, wcur, f"temporal_{self.block_index}_{i}", capture)
+                  pnp, hcur, wcur, f"temporal_{self.block_index}_{i}", capture,
+                  natural=self.temporal_natural_layout)
               if i in temporal_sites else None)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x, upsample_size)
@@ -606,6 +689,7 @@ class I2VGenXLUNet(nn.Module):
                 ch0, cfg.transformer_in_heads, cfg.attention_head_dim,
                 norm_num_groups=cfg.norm_num_groups, window=cfg.temporal_window,
                 ff_chunk_rows=cfg.ff_chunk_rows,
+                natural_layout=cfg.temporal_natural_layout,
                 dtype=self.dtype, name="transformer_in",
             )(x, f)
 
@@ -622,6 +706,7 @@ class I2VGenXLUNet(nn.Module):
                         cross_attention_dim=cfg.cross_attention_dim,
                         norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                         temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
+                        temporal_natural_layout=cfg.temporal_natural_layout,
                         dtype=self.dtype, name=f"down_blocks_{i}",
                     )(x, emb, context, f)
                 else:  # DownBlock3D
@@ -640,6 +725,7 @@ class I2VGenXLUNet(nn.Module):
                 cross_attention_dim=cfg.cross_attention_dim,
                 norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                 temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
+                temporal_natural_layout=cfg.temporal_natural_layout,
                 dtype=self.dtype, name="mid_block",
             )(x, emb, context, f)
         else:
@@ -670,6 +756,7 @@ class I2VGenXLUNet(nn.Module):
                     cross_attention_dim=cfg.cross_attention_dim,
                     norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                     temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
+                    temporal_natural_layout=cfg.temporal_natural_layout,
                     block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
                 )(x, res, emb, context, f, upsample_size, pnp, freeu, capture)
 
@@ -678,7 +765,10 @@ class I2VGenXLUNet(nn.Module):
         x = nn.silu(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         if capture is not None:
-            if pnp is not None:
+            if pnp is not None and pnp.capture_weight is not None:
+                capture["out_conv"] = pnp_lib.stream_capture_conv(
+                    x, pnp, x.shape[1], x.shape[2])
+            elif pnp is not None:
                 capture["out_conv"] = pnp_lib.precomposite_conv(
                     x, pnp, x.shape[1], x.shape[2])
             else:

@@ -78,6 +78,41 @@ def ring_self_attention(
     return (acc / l).astype(q.dtype)
 
 
+def ulysses_self_attention(
+    q: jax.Array,  # [B, H, S_local, D] local shards, H divisible by axis size
+    k: jax.Array,
+    v: jax.Array,
+    axis_name: str,
+    axis_size: int,
+) -> jax.Array:
+    """DeepSpeed-Ulysses style context parallelism: one all-to-all swaps the
+    sharded axis from sequence to heads, full-sequence attention runs
+    locally on H/n heads, and a second all-to-all swaps back.  Two
+    collectives total per attention (vs n-1 ppermutes for the ring) — the
+    better trade when H divides the mesh axis and S_local is small.
+    """
+    b, h, s_loc, d = q.shape
+    if axis_size == 1:
+        return ring_self_attention(q, k, v, axis_name, 1)
+    assert h % axis_size == 0, f"heads {h} not divisible by axis {axis_size}"
+
+    def gather_seq(x):  # [B, H, S_loc, D] -> [B, H/n, S_full, D]
+        # split the head axis across devices, concatenate the seq axis
+        return jax.lax.all_to_all(
+            x, axis_name, split_axis=1, concat_axis=2, tiled=True)
+
+    qg, kg, vg = gather_seq(q), gather_seq(k), gather_seq(v)
+    scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qg.astype(jnp.float32) * scale,
+                   kg.astype(jnp.float32))
+    p = jax.nn.softmax(s, axis=-1)
+    og = jnp.einsum("bhqk,bhkd->bhqd", p, vg.astype(jnp.float32)).astype(q.dtype)
+
+    # inverse all-to-all: heads back to full, sequence back to local
+    return jax.lax.all_to_all(
+        og, axis_name, split_axis=2, concat_axis=1, tiled=True)
+
+
 def ring_sdpa(
     q: jax.Array,  # [B, S, H*D]
     k: jax.Array,
@@ -85,12 +120,15 @@ def ring_sdpa(
     heads: int,
     mesh: Mesh,
     axis_name: str = "seq",
+    method: str = "ring",
 ) -> jax.Array:
-    """Drop-in sdpa (models/layers.sdpa signature subset) running as ring
-    attention with the token axis S sharded over `mesh[axis_name]`.
+    """Drop-in sdpa (models/layers.sdpa signature subset) running as
+    context-parallel attention with the token axis S sharded over
+    `mesh[axis_name]`.
 
-    S must divide the axis size; B stays replicated (shard it over other
-    axes outside if desired).
+    method: "ring" (K/V rotate, n-1 neighbor ppermutes) or "ulysses"
+    (two all-to-alls, heads must divide the axis).  S must divide the axis
+    size; B stays replicated (shard it over other axes outside if desired).
     """
     shard_map = getattr(jax, "shard_map", None)
     if shard_map is None:  # pragma: no cover - older jax
@@ -106,9 +144,10 @@ def ring_sdpa(
 
     qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
     spec = P(None, None, axis_name, None)
+    impl = {"ring": ring_self_attention, "ulysses": ulysses_self_attention}[method]
 
     fn = shard_map(
-        functools.partial(ring_self_attention, axis_name=axis_name, axis_size=n),
+        functools.partial(impl, axis_name=axis_name, axis_size=n),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

@@ -231,7 +231,8 @@ def pnp_composite_core(
     inject_background: bool = True,
     encoder_reuse_interval: int = 1,
     init_encoder_cache=None,
-    two_pass: bool = False,
+    two_pass=False,
+    capture_weights=None,
 ) -> jax.Array:
     """The MVOC composite sampler as one scan (reference:
     pipeline_i2vgen_xl.py:1635-1734 + pnp_utils injection sites).
@@ -255,10 +256,20 @@ def pnp_composite_core(
     the source-pass (N+1) and edit-pass (2) encoders separately is exactly
     the fused batch-(N+3) cache split in two — `init_encoder_cache` must
     then be a (src_cache, edit_cache) tuple.
+
+    two_pass="stream" scans the capture over source branches ONE at a time
+    (batch 1): per-branch site terms x_b * M_b sum to the same
+    pre-composited S (weights from pnp.build_capture_weights, passed as
+    `capture_weights`), so peak activation memory is ONE branch —
+    independent of object count.  With reuse, `init_encoder_cache` is
+    (src_caches stacked [N+1, ...], edit_cache).
     """
     n_obj = masks_soft.shape[0]
     mask_b = masks_soft[..., None]  # [N, F, h, w, 1]
     reuse = encoder_reuse_interval > 1
+    stream = two_pass == "stream"
+    if stream:
+        assert capture_weights is not None, "stream capture needs capture_weights"
 
     def _slice_cond(c, lo, hi):
         return UNetConditioning(
@@ -311,6 +322,112 @@ def pnp_composite_core(
             gate_conv=g_conv,
             inject_background=inject_background,
         )
+
+        if stream:
+            src_cond = _slice_cond(cond, 0, n_obj + 1)
+            edit_cond = _slice_cond(cond, n_obj + 1, n_obj + 3)
+            src_inp = inp[: n_obj + 1]
+
+            def branch_apply(cond_b, inp_b, wgt_b, cache_b=None,
+                             want_cache=False):
+                pnp_b = dataclasses.replace(pnp_state, capture_weight=wgt_b)
+                kw = dict(
+                    sample=inp_b[None],
+                    timestep=t,
+                    fps=cond_b.fps[None],
+                    image_latents_first=cond_b.image_latents_first[None],
+                    image_latents=cond_b.image_latents[None],
+                    image_embeddings=cond_b.image_embeddings[None],
+                    encoder_hidden_states=cond_b.encoder_hidden_states[None],
+                    pnp=pnp_b,
+                    pnp_capture=True,
+                    mutable=["pnp_features"],
+                )
+                if want_cache:
+                    (_, enc), variables = unet_apply(
+                        unet_params, **kw, return_encoder=True)
+                    return {k: v[0] for k, v in variables["pnp_features"].items()}, enc
+                if cache_b is not None:
+                    _, variables = unet_apply(
+                        unet_params, **kw, cached_encoder=cache_b)
+                else:
+                    _, variables = unet_apply(unet_params, **kw)
+                return {k: v[0] for k, v in variables["pnp_features"].items()}
+
+            def cond_at(c, j):
+                return jax.tree.map(lambda x: x[j], c)
+
+            wgt_at = lambda j: jax.tree.map(
+                lambda x: x[j], capture_weights)
+
+            feats_shapes = jax.eval_shape(
+                lambda: branch_apply(cond_at(src_cond, 0), src_inp[0], wgt_at(0)))
+            feats0 = jax.tree.map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype), feats_shapes)
+
+            if reuse:
+                src_caches, edit_cache = cache
+                fresh = (i % encoder_reuse_interval) == 0
+
+                def cap_body(feats_acc, xs_b):
+                    cond_b, inp_b, wgt_b, cache_b = xs_b
+
+                    def go_fresh(c):
+                        return branch_apply(cond_b, inp_b, wgt_b,
+                                            want_cache=True)
+
+                    def go_cached(c):
+                        return branch_apply(cond_b, inp_b, wgt_b,
+                                            cache_b=c), c
+
+                    f_b, new_cache = jax.lax.cond(
+                        fresh, go_fresh, go_cached, cache_b)
+                    acc = jax.tree.map(lambda a, b: a + b, feats_acc, f_b)
+                    return acc, new_cache
+
+                feats, src_caches = jax.lax.scan(
+                    cap_body, feats0,
+                    (src_cond, src_inp, capture_weights, src_caches))
+            else:
+                def cap_body(feats_acc, xs_b):
+                    cond_b, inp_b, wgt_b = xs_b
+                    f_b = branch_apply(cond_b, inp_b, wgt_b)
+                    return jax.tree.map(lambda a, b: a + b, feats_acc, f_b), None
+
+                feats, _ = jax.lax.scan(
+                    cap_body, feats0, (src_cond, src_inp, capture_weights))
+
+            pnp_consume = dataclasses.replace(
+                pnp_state, mode="consume_pre", features=feats)
+            edit_inp = jnp.concatenate([latents[None], latents[None]], axis=0)
+            edit_kwargs = dict(
+                sample=edit_inp,
+                timestep=t,
+                fps=edit_cond.fps,
+                image_latents_first=edit_cond.image_latents_first,
+                image_latents=edit_cond.image_latents,
+                image_embeddings=edit_cond.image_embeddings,
+                encoder_hidden_states=edit_cond.encoder_hidden_states,
+                pnp=pnp_consume,
+            )
+            if reuse:
+                def edit_fresh(c):
+                    return unet_apply(unet_params, **edit_kwargs,
+                                      return_encoder=True)
+
+                def edit_cached(c):
+                    return unet_apply(unet_params, **edit_kwargs,
+                                      cached_encoder=c), c
+
+                eps_edit, edit_cache = jax.lax.cond(
+                    fresh, edit_fresh, edit_cached, edit_cache)
+            else:
+                eps_edit = unet_apply(unet_params, **edit_kwargs)
+            eps_g = eps_edit[0] + guidance_scale * (eps_edit[1] - eps_edit[0])
+            nxt = ddim.step(eps_g, t, latents, num_inference_steps)
+            if reuse:
+                return (nxt, (src_caches, edit_cache)), None
+            return nxt, None
 
         if two_pass:
             src_cond = _slice_cond(cond, 0, n_obj + 1)

@@ -474,7 +474,7 @@ class I2VGenXLPipeline:
         random_noise_ratio: float = 0.0,
         inject_background: bool = True,
         encoder_reuse_interval: int = 1,
-        two_pass: bool = False,
+        two_pass: bool | str = False,  # False | True | "stream"
         pnp_f_t: float = 0.8,
         pnp_spatial_attn_t: float = 0.8,
         pnp_temp_attn_t: float = 0.8,
@@ -588,11 +588,26 @@ class I2VGenXLPipeline:
 
         init_latents = self.prepare_latents(num_frames, height, width, k_lat)
 
+        stream = two_pass == "stream"
+        capture_weights = None
+        if stream:
+            capture_weights = pnp_lib.build_capture_weights(
+                pyr_bin, pyr_soft, inject_background)
+
         init_cache = None
         if encoder_reuse_interval > 1:
             h_l = height // self.vae_scale_factor
             w_l = width // self.vae_scale_factor
-            if two_pass:
+            if stream:
+                # per-source-branch batch-1 caches stacked [N+1, ...]
+                one = self._encoder_cache_zeros(1, num_frames, h_l, w_l)
+                init_cache = (
+                    jax.tree.map(
+                        lambda x: jnp.broadcast_to(
+                            x[None], (n_obj + 1,) + x.shape), one),
+                    self._encoder_cache_zeros(2, num_frames, h_l, w_l),
+                )
+            elif two_pass:
                 # separate source-pass / edit-pass caches (see core.py)
                 init_cache = (
                     self._encoder_cache_zeros(n_obj + 1, num_frames, h_l, w_l),
@@ -614,6 +629,7 @@ class I2VGenXLPipeline:
                 encoder_reuse_interval=int(encoder_reuse_interval),
                 init_encoder_cache=init_cache,
                 two_pass=two_pass,
+                capture_weights=capture_weights,
             )
         )
         final = composite_fn(

@@ -85,6 +85,12 @@ class PnPState:
     # source-branch pass).  Capture itself is a UNet flag (pnp_capture).
     mode: str = dataclasses.field(metadata=dict(static=True), default="fused")
     features: Optional[Dict[str, tuple]] = None
+    # STREAMED capture (one source branch per UNet call): the current
+    # branch's per-site multiplier pyramids — dict keyed "qk_binary" /
+    # "qk_soft" / "conv", each res -> [F, h, w].  When set, capture stores
+    # x * weight and the branch terms SUM to the same S as batched
+    # pre-composited capture (see build_capture_weights).
+    capture_weight: Optional[Dict[str, Dict[Tuple[int, int], jax.Array]]] = None
 
     @property
     def num_objects(self) -> int:
@@ -141,17 +147,21 @@ def _inject_chunks(x: jax.Array, injected: jax.Array, n_obj: int) -> jax.Array:
 
 
 def inject_spatial_qk(
-    q: jax.Array, k: jax.Array, pnp: PnPState, h: int, w: int
+    q: jax.Array, k: jax.Array, pnp: PnPState, h: int, w: int,
+    soft: bool = False, gate: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Spatial-attention Q/K injection (reference: pnp_utils.py:624-672).
 
     q, k: [B*F, h*w, C] with B = N+3 branches.
+    soft/gate: used by the natural-layout TEMPORAL sites, whose tokens
+    [B, F, hw, C] flatten to exactly this layout but take the soft mask and
+    the temporal gate (see unet_i2vgen._temporal_qk_edit).
     """
     n = pnp.num_objects
     B = pnp.num_branches
     bf, hw, c = q.shape
     f = bf // B
-    mask = pnp.mask_at(h, w).astype(q.dtype).reshape(n, 1, f, hw, 1)  # [N,1,F,hw,1]
+    mask = pnp.mask_at(h, w, soft=soft).astype(q.dtype).reshape(n, 1, f, hw, 1)
 
     def edit(x):
         xb = x.reshape(B, f, hw, c)
@@ -159,7 +169,8 @@ def inject_spatial_qk(
         inj = _composite(base, xb[1 : n + 1][:, None], mask)
         return _inject_chunks(xb, inj, n).reshape(bf, hw, c)
 
-    gate = pnp.gate_spatial
+    if gate is None:
+        gate = pnp.gate_spatial
     return jnp.where(gate, edit(q), q), jnp.where(gate, edit(k), k)
 
 
@@ -258,6 +269,7 @@ def injection_gates(
 def consume_spatial_qk(
     q: jax.Array, k: jax.Array, src_q: jax.Array, src_k: jax.Array,
     pnp: PnPState, h: int, w: int,
+    soft: bool = False, gate: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Edit-branch Q/K injection from captured source features.
 
@@ -266,7 +278,7 @@ def consume_spatial_qk(
     n = pnp.num_objects
     bf, hw, c = q.shape
     f = bf // 2
-    mask = pnp.mask_at(h, w).astype(q.dtype).reshape(n, 1, f, hw, 1)
+    mask = pnp.mask_at(h, w, soft=soft).astype(q.dtype).reshape(n, 1, f, hw, 1)
 
     def edit(x, src):
         xb = x.reshape(2, f, hw, c)
@@ -275,7 +287,8 @@ def consume_spatial_qk(
         inj = _composite(base, sb[1 : n + 1][:, None], mask)
         return jnp.concatenate([inj, inj], axis=0).reshape(bf, hw, c)
 
-    gate = pnp.gate_spatial
+    if gate is None:
+        gate = pnp.gate_spatial
     return (jnp.where(gate, edit(q, src_q), q),
             jnp.where(gate, edit(k, src_k), k))
 
@@ -317,6 +330,79 @@ def consume_conv_features(
     return jnp.where(pnp.gate_conv, edited, x)
 
 
+def build_capture_weights(
+    pyr_binary: Dict[Tuple[int, int], jax.Array],
+    pyr_soft: Dict[Tuple[int, int], jax.Array],
+    inject_background: bool,
+) -> Dict[str, Dict[Tuple[int, int], jax.Array]]:
+    """Per-branch capture multipliers for STREAMED capture.
+
+    The pre-composited capture value expands to S = sum_b x_b * M_b over
+    source branches b = 0..N (0 = bg):
+        M_0 = W = prod_j (1 - m_j)        (qk sites: zero unless
+                                           inject_background; conv sites:
+                                           always — base is always bg)
+        M_j = m_j * prod_{k>j} (1 - m_k)  (later object wins)
+    Returns pyramids stacked on a leading branch axis [N+1, F, h, w] keyed
+    "qk_binary" / "qk_soft" / "conv" — a `lax.scan` over source branches
+    slices off axis 0 and passes the slice as PnPState.capture_weight.
+    """
+    def stack(pyr, qk: bool):
+        out = {}
+        for res, m in pyr.items():
+            m = jnp.asarray(m)  # [N, F, h, w]
+            n = m.shape[0]
+            branches = []
+            w_all = _transparency(m)
+            if qk and not inject_background:
+                branches.append(jnp.zeros_like(w_all))
+            else:
+                branches.append(w_all)
+            for j in range(n):
+                t = m[j]
+                for k in range(j + 1, n):
+                    t = t * (1.0 - m[k])
+                branches.append(t)
+            out[res] = jnp.stack(branches)  # [N+1, F, h, w]
+        return out
+
+    return {
+        "qk_binary": stack(pyr_binary, qk=True),
+        "qk_soft": stack(pyr_soft, qk=True),
+        "conv": stack(pyr_binary, qk=False),
+    }
+
+
+def stream_capture_spatial(q, k, pnp: PnPState, h: int, w: int):
+    """One source branch's capture term: q, k [F, hw, C] -> (q*M, k*M)."""
+    wgt = pnp.capture_weight["qk_binary"][(h, w)].astype(q.dtype)
+    f = wgt.shape[0]
+    wgt = wgt.reshape(f, h * w, 1)
+    return q * wgt, k * wgt
+
+
+def stream_capture_temporal(q, k, pnp: PnPState, h: int, w: int):
+    """Transposed temporal layout: q, k [hw, F, C]."""
+    wgt = pnp.capture_weight["qk_soft"][(h, w)].astype(q.dtype)
+    f = wgt.shape[0]
+    wgt = wgt.reshape(f, h * w).T[:, :, None]  # [hw, F, 1]
+    return q * wgt, k * wgt
+
+
+def stream_capture_temporal_natural(q, k, pnp: PnPState, h: int, w: int):
+    """Natural temporal layout: q, k [F, hw, C] (batch-1 flattened)."""
+    wgt = pnp.capture_weight["qk_soft"][(h, w)].astype(q.dtype)
+    f = wgt.shape[0]
+    wgt = wgt.reshape(f, h * w, 1)
+    return q * wgt, k * wgt
+
+
+def stream_capture_conv(x, pnp: PnPState, h: int, w: int):
+    """Conv sites: x [F, h, w, C] -> x*M (bg term always included)."""
+    wgt = pnp.capture_weight["conv"][(h, w)].astype(x.dtype)
+    return x * wgt[..., None]
+
+
 # ---------------------------------------------------------------------------
 # Pre-composited capture: store ONE branch-equivalent per site instead of N+1
 # ---------------------------------------------------------------------------
@@ -352,14 +438,15 @@ def _transparency(masks: jax.Array) -> jax.Array:
 
 
 def precomposite_spatial(
-    q: jax.Array, k: jax.Array, pnp: PnPState, h: int, w: int
+    q: jax.Array, k: jax.Array, pnp: PnPState, h: int, w: int,
+    soft: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Capture-side: source q/k [(N+1)*F, hw, C] -> per-site S (folding the
     bg base in when inject_background)."""
     n = pnp.num_objects
     bf, hw, c = q.shape
     f = bf // (n + 1)
-    mask = pnp.mask_at(h, w).astype(q.dtype).reshape(n, 1, f, hw, 1)
+    mask = pnp.mask_at(h, w, soft=soft).astype(q.dtype).reshape(n, 1, f, hw, 1)
 
     def s_of(x):
         xb = x.reshape(n + 1, 1, f, hw, c)
@@ -405,12 +492,13 @@ def precomposite_conv(x: jax.Array, pnp: PnPState, h: int, w: int) -> jax.Array:
 def consume_spatial_precomposited(
     q: jax.Array, k: jax.Array, s_q: jax.Array, s_k: jax.Array,
     pnp: PnPState, h: int, w: int,
+    soft: bool = False, gate: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """q, k: [2*F, hw, C]; s_*: the captured S [F, hw, C]."""
     n = pnp.num_objects
     bf, hw, c = q.shape
     f = bf // 2
-    mask = pnp.mask_at(h, w).astype(q.dtype).reshape(n, f, hw, 1)
+    mask = pnp.mask_at(h, w, soft=soft).astype(q.dtype).reshape(n, f, hw, 1)
 
     def edit(x, s):
         xb = x.reshape(2, f, hw, c)
@@ -420,7 +508,8 @@ def consume_spatial_precomposited(
             inj = (xb[1:2] * _transparency(mask)[None] + s[None])
         return jnp.concatenate([inj, inj], axis=0).reshape(bf, hw, c)
 
-    gate = pnp.gate_spatial
+    if gate is None:
+        gate = pnp.gate_spatial
     return (jnp.where(gate, edit(q, s_q), q), jnp.where(gate, edit(k, s_k), k))
 
 

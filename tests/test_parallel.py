@@ -80,3 +80,27 @@ def test_ring_attention_matches_full(rng):
     m2 = pm.make_mesh(8, seq=2)
     out2 = np.asarray(ring_sdpa(q, k, v, heads, m2, axis_name=pm.SEQ_AXIS))
     np.testing.assert_allclose(out2, ref, atol=2e-5)
+
+
+def test_ulysses_attention_matches_full(rng):
+    """Ulysses (all-to-all head exchange) == plain sdpa on the 8-device mesh."""
+    from mvoc_tpu.models.layers import sdpa
+    from mvoc_tpu.ops.ring_attention import ring_sdpa
+
+    heads, d = 8, 4  # heads divisible by the seq axis
+    B, S = 2, 32
+
+    def mk(*shape):
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+
+    q, k, v = mk(B, S, heads * d), mk(B, S, heads * d), mk(B, S, heads * d)
+    ref = np.asarray(sdpa(q, k, v, heads))
+    m = pm.make_mesh(8, seq=8)
+    out = np.asarray(ring_sdpa(q, k, v, heads, m, axis_name=pm.SEQ_AXIS,
+                               method="ulysses"))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    m2 = pm.make_mesh(8, seq=2)
+    out2 = np.asarray(ring_sdpa(q, k, v, heads, m2, axis_name=pm.SEQ_AXIS,
+                                method="ulysses"))
+    np.testing.assert_allclose(out2, ref, atol=2e-5)

@@ -533,3 +533,57 @@ def test_composite_two_pass_with_encoder_reuse(pipe, cond1):
     assert np.abs(fused_reuse - exact).max() > 1e-6
     corr = np.corrcoef(fused_reuse.ravel(), exact.ravel())[0, 1]
     assert corr > 0.8, corr
+
+
+def test_composite_stream_capture_equals_fused(pipe, cond1):
+    """two_pass='stream' (per-branch capture scan) == fused scan: the
+    per-branch terms x_b*M_b sum to the batched pre-composite exactly."""
+    rng = np.random.default_rng(17)
+    n_obj = 2
+    ddim = DDIM(SchedulerConfig())
+    run_ts = sampling_timesteps(SchedulerConfig(), N_STEPS)[:3]
+    S = len(run_ts)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s, dtype=np.float32))
+
+    condN = core.UNetConditioning(
+        encoder_hidden_states=mk(n_obj + 3, 7, 16),
+        image_latents_first=mk(n_obj + 3, F, LAT, LAT, 4),
+        image_latents=mk(n_obj + 3, F, LAT, LAT, 4),
+        image_embeddings=mk(n_obj + 3, F, 16),
+        fps=jnp.asarray([8] * (n_obj + 3)),
+    )
+    from mvoc_tpu import pnp as pnp_lib
+
+    masks_soft = np.zeros((n_obj, F, LAT, LAT), np.float32)
+    masks_soft[0, :, : LAT // 2] = 1.0
+    masks_soft[1, :, :, : LAT // 2] = 1.0
+    res = [(LAT, LAT), (LAT // 2, LAT // 2), (LAT // 4, LAT // 4)]
+    pyr = {k: jnp.asarray(v) for k, v in pnp_lib.build_mask_pyramid(masks_soft, res).items()}
+    on = jnp.ones((S,), bool)
+    sched = core.CompositeSchedule(
+        bg_traj=mk(S, F, LAT, LAT, 4), obj_traj=mk(S, n_obj, F, LAT, LAT, 4),
+        obj_fusion_lat=mk(n_obj, F, LAT, LAT, 4),
+        gate_spatial=on, gate_temporal=on, gate_conv=on,
+        fusion_mask=jnp.asarray([True] + [False] * (S - 1)),
+        timesteps=jnp.asarray(run_ts),
+    )
+    xT = mk(F, LAT, LAT, 4)
+
+    def run(two_pass, inject_background, cw):
+        return np.asarray(core.pnp_composite_core(
+            pipe._unet_apply, ddim, pipe.params["unet"], xT, condN, sched,
+            jnp.asarray(masks_soft), pyr, pyr,
+            num_inference_steps=N_STEPS, guidance_scale=3.0,
+            random_noise_ratio=0.3, two_pass=two_pass,
+            inject_background=inject_background, capture_weights=cw,
+        ))
+
+    cw_true = pnp_lib.build_capture_weights(pyr, pyr, inject_background=True)
+    np.testing.assert_allclose(
+        run("stream", True, cw_true), run(False, True, None), atol=5e-4)
+    # inject_background=False exercises the zeroed bg qk weight + edit base
+    cw_false = pnp_lib.build_capture_weights(pyr, pyr, inject_background=False)
+    np.testing.assert_allclose(
+        run("stream", False, cw_false), run(False, False, None), atol=5e-4)

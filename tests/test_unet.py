@@ -200,3 +200,46 @@ def test_precomposited_two_pass_equals_fused(unet):
         np.testing.assert_allclose(
             edit_eps, fused[N_OBJ + 1 :], atol=5e-5,
             err_msg=f"precomposited mismatch (inject_background={inject_bg})")
+
+
+def test_temporal_natural_layout_matches(unet):
+    """temporal_natural_layout=True (frame-major tokens, sdpa_frames) ==
+    the transposed-layout forward: identical params, same math, only the
+    tensor layout differs.  Also equal with PnP armed (edit sites fall back
+    to the transposed layout there)."""
+    cfg, model, params, inputs, out_plain = unet
+    cfg_nat = dataclasses.replace(cfg, temporal_natural_layout=True)
+    model_nat = I2VGenXLUNet(cfg_nat)
+
+    out_nat = np.asarray(model_nat.apply(params, **inputs))
+    np.testing.assert_allclose(out_nat, out_plain, atol=2e-4)
+
+    pnp = _mask_state(gates=True)
+    ref = np.asarray(model.apply(params, **inputs, pnp=pnp))
+    nat = np.asarray(model_nat.apply(params, **inputs, pnp=pnp))
+    np.testing.assert_allclose(nat, ref, atol=2e-4)
+
+
+def test_temporal_natural_layout_two_pass(unet):
+    """Natural layout through the two-pass capture/consume path == the
+    default-layout two-pass path (same captured composite, different token
+    layout at temporal sites)."""
+    cfg, model, params, inputs, out_plain = unet
+    cfg_nat = dataclasses.replace(cfg, temporal_natural_layout=True)
+    model_nat = I2VGenXLUNet(cfg_nat)
+    pnp = _mask_state(gates=True)
+
+    def run_two_pass(m):
+        src = {k: (v[: N_OBJ + 1] if hasattr(v, "shape") and v.shape[:1] == (B,) else v)
+               for k, v in inputs.items()}
+        edit = {k: (v[N_OBJ + 1:] if hasattr(v, "shape") and v.shape[:1] == (B,) else v)
+                for k, v in inputs.items()}
+        _, variables = m.apply(
+            params, **src, pnp=pnp, pnp_capture=True, mutable=["pnp_features"])
+        feats = {k: v[0] for k, v in variables["pnp_features"].items()}
+        pnp_c = dataclasses.replace(pnp, mode="consume_pre", features=feats)
+        return np.asarray(m.apply(params, **edit, pnp=pnp_c))
+
+    ref = run_two_pass(model)
+    nat = run_two_pass(model_nat)
+    np.testing.assert_allclose(nat, ref, atol=2e-4)

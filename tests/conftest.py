@@ -27,6 +27,18 @@ if "xla_force_host_platform_device_count" not in flags:
         + " --xla_backend_optimization_level=0"
     ).strip()
 
+# The full suite accumulates >65k mmap'd XLA JIT code regions in one
+# process; the kernel default vm.max_map_count=65530 then makes the
+# XLA:CPU compiler segfault near the end of the run.  Raise it (root on
+# the CI box; silently skip elsewhere).
+try:  # pragma: no cover
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 1_000_000:
+            _f.seek(0)
+            _f.write("2000000")
+except OSError:
+    pass
+
 import jax  # noqa: E402 (may already be preimported — that's fine)
 
 jax.config.update("jax_platforms", "cpu")

@@ -517,13 +517,18 @@ def test_composite_two_pass_with_encoder_reuse(pipe, cond1):
         return jax.tree.map(lambda c: jnp.zeros(c.shape, c.dtype), shapes)
 
     def run(two_pass, interval, cache):
-        return np.asarray(core.pnp_composite_core(
-            pipe._unet_apply, ddim, pipe.params["unet"], xT, condN, sched,
-            jnp.asarray(masks_soft), pyr, pyr,
-            num_inference_steps=N_STEPS, guidance_scale=3.0,
-            random_noise_ratio=0.3, two_pass=two_pass,
-            encoder_reuse_interval=interval, init_encoder_cache=cache,
-        ))
+        # disable_jit: the scan body here holds FOUR UNet graphs (lax.cond
+        # fresh/cached x capture/edit); compiling it as one XLA:CPU program
+        # crashes this box's compiler after ~15 big compiles in-process.
+        # Eager execution checks the same math without the monster compile.
+        with jax.disable_jit():
+            return np.asarray(core.pnp_composite_core(
+                pipe._unet_apply, ddim, pipe.params["unet"], xT, condN, sched,
+                jnp.asarray(masks_soft), pyr, pyr,
+                num_inference_steps=N_STEPS, guidance_scale=3.0,
+                random_noise_ratio=0.3, two_pass=two_pass,
+                encoder_reuse_interval=interval, init_encoder_cache=cache,
+            ))
 
     fused_reuse = run(False, 2, cache_zeros(n_obj + 3))
     two_reuse = run(True, 2, (cache_zeros(n_obj + 1), cache_zeros(2)))
@@ -572,13 +577,16 @@ def test_composite_stream_capture_equals_fused(pipe, cond1):
     xT = mk(F, LAT, LAT, 4)
 
     def run(two_pass, inject_background, cw):
-        return np.asarray(core.pnp_composite_core(
-            pipe._unet_apply, ddim, pipe.params["unet"], xT, condN, sched,
-            jnp.asarray(masks_soft), pyr, pyr,
-            num_inference_steps=N_STEPS, guidance_scale=3.0,
-            random_noise_ratio=0.3, two_pass=two_pass,
-            inject_background=inject_background, capture_weights=cw,
-        ))
+        # disable_jit for the same reason as the reuse test above: the
+        # branch-scan-in-step-scan program crashes XLA:CPU on this box.
+        with jax.disable_jit():
+            return np.asarray(core.pnp_composite_core(
+                pipe._unet_apply, ddim, pipe.params["unet"], xT, condN, sched,
+                jnp.asarray(masks_soft), pyr, pyr,
+                num_inference_steps=N_STEPS, guidance_scale=3.0,
+                random_noise_ratio=0.3, two_pass=two_pass,
+                inject_background=inject_background, capture_weights=cw,
+            ))
 
     cw_true = pnp_lib.build_capture_weights(pyr, pyr, inject_background=True)
     np.testing.assert_allclose(

@@ -258,7 +258,7 @@ def build(preset: str, natural: bool = False):
         return jax.jit(lambda params, sample, latents, gate: step(
             params, sample, latents, gate))
 
-    def make_step(cached: bool):
+    def make_step(cached: bool, want_cache: bool = True):
         def step(params, sample, latents, gate, cache=None):
             pnp_state = pnp_lib.PnPState(
                 masks=pyr, masks_soft=pyr,
@@ -268,9 +268,13 @@ def build(preset: str, natural: bool = False):
             if cached:
                 eps = model.apply(params, **kw, pnp=pnp_state, cached_encoder=cache)
                 new_cache = cache
-            else:
+            elif want_cache:
                 eps, new_cache = model.apply(params, **kw, pnp=pnp_state,
                                              return_encoder=True)
+            else:
+                # reuse off: returning the encoder cache would add a
+                # batch-(N+3) feature pytree (~4 GB at 720p) to the outputs
+                eps, new_cache = model.apply(params, **kw, pnp=pnp_state), None
             eps_g = eps[3] + 9.0 * (eps[4] - eps[3])
             new_latents = ddim.step(eps_g, inputs["timestep"][0], latents, 50)
             new_sample = jnp.concatenate(
@@ -290,9 +294,175 @@ def build(preset: str, natural: bool = False):
             inputs["sample"], latents)
 
 
+def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
+            n_frames: int = 16, invert_steps: int = 500,
+            compose_steps: int = 50, stream: bool = True,
+            reuse: int = 1):
+    """End-to-end MVOC workflow wall-clock on one chip: DDIM-invert the
+    background + 2 object videos (500 steps each, cfg=1, like the
+    reference's stage 1 — reference: group_inversion/template.yaml:30-34)
+    then run the 50-step PnP composite (stage 2).  Random weights/inputs;
+    the compute graph, shapes and schedules are the real ones."""
+    import time as _time
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.mvoc_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    import jax.numpy as jnp
+
+    from mvoc_tpu import pnp as pnp_lib
+    from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet, UNetConfig
+    from mvoc_tpu.ops.ddim import (DDIM, SchedulerConfig, inversion_timesteps,
+                                   sampling_timesteps)
+    from mvoc_tpu.pipeline import core
+
+    cfg = UNetConfig(temporal_natural_layout=natural)
+    F, H, W = n_frames, height_lat, width_lat
+    dtype = jnp.bfloat16
+    n_obj = 2
+    model = I2VGenXLUNet(cfg, dtype=dtype)
+    rng = np.random.default_rng(0)
+
+    def mk(*shape):
+        return jnp.asarray(rng.standard_normal(shape), dtype=dtype)
+
+    def cond_for(b):
+        return core.UNetConditioning(
+            encoder_hidden_states=mk(b, 77, cfg.cross_attention_dim),
+            image_latents_first=mk(b, F, H, W, 4),
+            image_latents=mk(b, F, H, W, 4),
+            image_embeddings=mk(b, F, cfg.cross_attention_dim),
+            fps=jnp.asarray([8] * b),
+        )
+
+    init_inputs = dict(
+        sample=mk(1, F, H, W, 4), timestep=jnp.asarray([981]),
+        fps=jnp.asarray([8]), image_latents_first=mk(1, F, H, W, 4),
+        image_latents=mk(1, F, H, W, 4),
+        image_embeddings=mk(1, F, cfg.cross_attention_dim),
+        encoder_hidden_states=mk(1, 77, cfg.cross_attention_dim),
+    )
+    params = jax.jit(lambda: model.init(jax.random.key(0), **init_inputs))()
+    params = jax.jit(lambda p: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        p))(params)
+    ddim = DDIM(SchedulerConfig())
+    apply = lambda p, **kw: model.apply(p, **kw)
+
+    # --- stage 1: 3 inversions (bg + 2 objects) -------------------------
+    # the scan runs in CHUNKS of bounded wall-time per XLA execution: a
+    # single 500-step program executes for minutes, which faults the
+    # remote-TPU watchdog (single-step executions of ~seconds are fine)
+    chunk = 50
+    assert invert_steps % chunk == 0
+    inv_ts_np = np.asarray(inversion_timesteps(SchedulerConfig(), invert_steps))
+    invert_fn = jax.jit(lambda p, x0, c, ts: core.ddim_inversion_core(
+        apply, ddim, p, x0, c, ts, invert_steps, 1.0))
+    cond1 = cond_for(1)
+    x0 = mk(F, H, W, 4).astype(jnp.float32)
+    # compile outside the timed region (the persistent cache makes repeat
+    # runs realistic); execution is timed
+    jax.block_until_ready(invert_fn(params, x0, cond1,
+                                    jnp.asarray(inv_ts_np[:chunk])))
+
+    def invert_video(x0_j):
+        parts = []
+        cur = x0_j
+        for s in range(0, invert_steps, chunk):
+            seg = invert_fn(params, cur, cond1,
+                            jnp.asarray(inv_ts_np[s : s + chunk]))
+            cur = seg[-1]
+            parts.append(seg)
+        return jnp.concatenate(parts, axis=0)
+
+    t0 = _time.perf_counter()
+    trajs = []
+    for j in range(n_obj + 1):
+        x0_j = mk(F, H, W, 4).astype(jnp.float32)
+        trajs.append(invert_video(x0_j))
+    jax.block_until_ready(trajs)
+    t_invert = _time.perf_counter() - t0
+
+    # --- stage 2: 50-step composite -------------------------------------
+    full_ts = sampling_timesteps(SchedulerConfig(), compose_steps)
+    run_ts = np.asarray(full_ts[1:])  # ddim_init_latents_t_idx = 1
+    S = len(run_ts)
+    # trajectory entries at the run timesteps (ascending store -> index map)
+    inv_np = [np.asarray(t_) for t_ in trajs]
+    idx_of = {int(t_): i for i, t_ in enumerate(inv_ts_np)}
+    sel = [idx_of[int(t_)] for t_ in run_ts if int(t_) in idx_of]
+    # (with matching schedules every run t is in the inversion set)
+    bg_traj = inv_np[0][sel]
+    obj_traj = np.stack([inv_np[1][sel], inv_np[2][sel]], axis=1)
+    masks = np.zeros((n_obj, F, H, W), np.float32)
+    masks[0, :, : H // 2] = 1.0
+    masks[1, :, :, : W // 2] = 1.0
+    res = [(H, W), ((H + 1) // 2, (W + 1) // 2), ((H + 3) // 4, (W + 3) // 4)]
+    pyr = {k: jnp.asarray(v)
+           for k, v in pnp_lib.build_mask_pyramid(masks, res).items()}
+    gates = pnp_lib.injection_gates(full_ts, run_ts, compose_steps,
+                                    0.8, 0.8, 0.8)
+    sched = core.CompositeSchedule(
+        bg_traj=jnp.asarray(bg_traj, jnp.float32),
+        obj_traj=jnp.asarray(obj_traj, jnp.float32),
+        obj_fusion_lat=jnp.asarray(obj_traj[0], jnp.float32),
+        gate_spatial=jnp.asarray(gates["spatial"]),
+        gate_temporal=jnp.asarray(gates["temporal"]),
+        gate_conv=jnp.asarray(gates["conv"]),
+        fusion_mask=jnp.asarray([i < 3 for i in range(S)]),
+        timesteps=jnp.asarray(run_ts),
+    )
+    condN = cond_for(n_obj + 3)
+    cw = pnp_lib.build_capture_weights(pyr, pyr, True) if stream else None
+    compose_fn = jax.jit(lambda p, lat, c, s: core.pnp_composite_core(
+        apply, ddim, p, lat, c, s, jnp.asarray(masks), pyr, pyr,
+        num_inference_steps=compose_steps, guidance_scale=9.0,
+        random_noise_ratio=0.5, two_pass="stream" if stream else False,
+        capture_weights=cw))
+    xT = mk(F, H, W, 4).astype(jnp.float32)
+
+    def sched_slice(lo, hi):
+        import dataclasses as dc
+        return dc.replace(
+            sched, bg_traj=sched.bg_traj[lo:hi], obj_traj=sched.obj_traj[lo:hi],
+            gate_spatial=sched.gate_spatial[lo:hi],
+            gate_temporal=sched.gate_temporal[lo:hi],
+            gate_conv=sched.gate_conv[lo:hi],
+            fusion_mask=sched.fusion_mask[lo:hi],
+            timesteps=sched.timesteps[lo:hi])
+
+    # bounded executions (watchdog, see above); chunks share one compiled
+    # program when equally sized
+    c_chunk = 7  # 49 run steps = 7 x 7
+    while S % c_chunk != 0:
+        c_chunk -= 1
+    jax.block_until_ready(
+        compose_fn(params, xT, condN, sched_slice(0, c_chunk)))  # compile
+
+    t0 = _time.perf_counter()
+    lat = xT
+    for s0 in range(0, S, c_chunk):
+        lat = compose_fn(params, lat, condN, sched_slice(s0, s0 + c_chunk))
+    jax.block_until_ready(lat)
+    t_compose = _time.perf_counter() - t0
+
+    total = t_invert + t_compose
+    print(json.dumps({
+        "metric": "e2e_invert3x%d_compose%d_16f_512px_wall_seconds"
+        % (invert_steps, compose_steps),
+        "value": round(total, 2),
+        "unit": "s",
+        "vs_baseline": None,
+        "breakdown": {"invert_s": round(t_invert, 2),
+                      "compose_s": round(t_compose, 2)},
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", choices=["smoke", "full", "full720"], default="full")
+    ap.add_argument("--preset", choices=["smoke", "full", "full720", "e2e"],
+                    default="full")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--reuse", type=int, default=1,
                     help="encoder-reuse interval (1 = exact; k>1 recomputes "
@@ -309,6 +479,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if args.preset == "e2e":
+        run_e2e(natural=args.natural, stream=not args.two_pass,
+                reuse=args.reuse)
+        return
 
     iters = args.iters or (10 if args.preset.startswith("full") else 2)
     make_step, make_two_pass, make_stream, params, sample, latents = build(
@@ -393,7 +568,7 @@ def main():
         }))
         return
 
-    fresh_step = make_step(cached=False)
+    fresh_step = make_step(cached=False, want_cache=args.reuse > 1)
     cached_step = make_step(cached=True) if args.reuse > 1 else None
 
     # warmup / compile

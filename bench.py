@@ -480,6 +480,16 @@ def main():
 
     import jax
 
+    if (args.preset == "full" and not args.two_pass and not args.stream
+            and not args.natural and args.reuse == 1
+            and not os.environ.get("MVOC_BENCH_FUSED")):
+        # default = the recommended production configuration: streamed
+        # capture + frame-major temporal layout.  EXACT w.r.t. the fused
+        # reference-semantics step (tested); set MVOC_BENCH_FUSED=1 or pass
+        # explicit flags to measure other modes.
+        args.stream = True
+        args.natural = True
+
     if args.preset == "e2e":
         run_e2e(natural=args.natural, stream=not args.two_pass,
                 reuse=args.reuse)
@@ -526,7 +536,8 @@ def main():
             + ("_natural" if args.natural else ""),
             "value": round(iters / dt, 4),
             "unit": "steps/s",
-            "vs_baseline": None,
+            "vs_baseline": round((iters / dt) / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3)
+            if args.preset == "full" and args.reuse == 1 else None,
         }))
         return
     if args.two_pass:

@@ -296,8 +296,7 @@ def build(preset: str, natural: bool = False):
 
 def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             n_frames: int = 16, invert_steps: int = 500,
-            compose_steps: int = 50, stream: bool = True,
-            reuse: int = 1):
+            compose_steps: int = 50, stream: bool = True):
     """End-to-end MVOC workflow wall-clock on one chip: DDIM-invert the
     background + 2 object videos (500 steps each, cfg=1, like the
     reference's stage 1 — reference: group_inversion/template.yaml:30-34)
@@ -491,8 +490,8 @@ def main():
         args.natural = True
 
     if args.preset == "e2e":
-        run_e2e(natural=args.natural, stream=not args.two_pass,
-                reuse=args.reuse)
+        assert args.reuse == 1, "e2e preset measures the exact path only"
+        run_e2e(natural=args.natural, stream=not args.two_pass)
         return
 
     iters = args.iters or (10 if args.preset.startswith("full") else 2)

@@ -34,7 +34,48 @@ import numpy as np
 REFERENCE_STEPS_PER_SEC_ESTIMATE = 0.55  # est. reference fp16 A100, batch-5 @16f/512px
 
 
-def build(preset: str, natural: bool = False):
+def peak_tflops_per_sec():
+    """bf16 peak of the current device (None when unknown, e.g. CPU)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = [("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+             ("v6 lite", 918e12), ("v6e", 918e12), ("v4", 275e12)]
+    for k, v in table:
+        if k in kind:
+            return v
+    return None
+
+
+def mfu_fields(compiled_costs, steps_per_sec):
+    """MFU block for the bench JSON: compiled_costs is a list of
+    (flops_per_call, weight) with weights summing to 1 over one average
+    step; flops come from XLA's compiled cost analysis."""
+    flops_step = sum(f * w for f, w in compiled_costs)
+    achieved = flops_step * steps_per_sec
+    peak = peak_tflops_per_sec()
+    out = {
+        "model_tflops_per_step": round(flops_step / 1e12, 3),
+        "achieved_tflops_per_sec": round(achieved / 1e12, 2),
+    }
+    if peak:
+        out["mfu"] = round(achieved / peak, 4)
+    return out
+
+
+def cost_flops(jitted, *args, **kwargs):
+    """FLOPs of one call of a jitted function per XLA cost analysis
+    (returns 0.0 when the backend doesn't expose it)."""
+    try:
+        cost = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def build(preset: str, natural: bool = False, reuse_depth=None):
     import jax
 
     # persistent compilation cache: repeated bench runs skip the ~15 min
@@ -58,6 +99,12 @@ def build(preset: str, natural: bool = False):
         cfg = UNetConfig(temporal_natural_layout=natural)
         F, H, W = 16, 90, 160
         dtype = jnp.bfloat16
+    elif preset == "long64":
+        # the 64-frame long-video configuration (BASELINE configs[3]):
+        # windowed temporal attention keeps the frame axis O(F*window)
+        cfg = UNetConfig(temporal_natural_layout=natural, temporal_window=16)
+        F, H, W = 64, 64, 64
+        dtype = jnp.bfloat16
     else:
         cfg = UNetConfig.tiny()
         if natural:
@@ -68,6 +115,16 @@ def build(preset: str, natural: bool = False):
 
     n_obj, B = 2, 5
     model = I2VGenXLUNet(cfg, dtype=dtype)
+    if reuse_depth:
+        # partial-depth encoder reuse: bind the depth on every apply
+        # (inert unless cached_encoder/return_encoder are used)
+        import types
+
+        _m = model
+        model = types.SimpleNamespace(
+            init=_m.init,
+            apply=lambda *a, **k: _m.apply(
+                *a, **k, encoder_reuse_depth=int(reuse_depth)))
     rng = np.random.default_rng(0)
 
     def mk(*shape):
@@ -258,6 +315,36 @@ def build(preset: str, natural: bool = False):
         return jax.jit(lambda params, sample, latents, gate: step(
             params, sample, latents, gate))
 
+    def make_pab_step(cached: bool = False):
+        """PAB attention-output broadcast on the fused path: fresh steps
+        capture the up-block attention outputs ("attn_out" collection),
+        cached steps skip qkv+sdpa+out-proj at every up-block attention and
+        broadcast the captured outputs (approximate; see unet pab_cache)."""
+        def step(params, sample, latents, gate, cache=None):
+            pnp_state = pnp_lib.PnPState(
+                masks=pyr, masks_soft=pyr,
+                gate_spatial=gate, gate_temporal=gate, gate_conv=gate,
+            )
+            kw = {**inputs, "sample": sample}
+            if cached:
+                eps = model.apply(params, **kw, pnp=pnp_state, pab_cache=cache)
+                new_cache = cache
+            else:
+                eps, variables = model.apply(
+                    params, **kw, pnp=pnp_state, pab_capture=True,
+                    mutable=["attn_out"])
+                new_cache = {k: v[0] for k, v in variables["attn_out"].items()}
+            eps_g = eps[3] + 9.0 * (eps[4] - eps[3])
+            new_latents = ddim.step(eps_g, inputs["timestep"][0], latents, 50)
+            new_sample = jnp.concatenate(
+                [sample[: n_obj + 1], new_latents[None].astype(dtype),
+                 new_latents[None].astype(dtype)], axis=0)
+            return new_sample, new_latents, new_cache
+        if cached:
+            return jax.jit(step)
+        return jax.jit(lambda params, sample, latents, gate: step(
+            params, sample, latents, gate))
+
     def make_step(cached: bool, want_cache: bool = True):
         def step(params, sample, latents, gate, cache=None):
             pnp_state = pnp_lib.PnPState(
@@ -290,38 +377,82 @@ def build(preset: str, natural: bool = False):
             params, sample, latents, gate))
 
     latents = inputs["sample"][0].astype(jnp.float32)
-    return (make_step, make_two_pass_step, make_stream_step, params,
+    return (make_step, make_two_pass_step, make_stream_step, make_pab_step, params,
             inputs["sample"], latents)
 
 
 def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             n_frames: int = 16, invert_steps: int = 500,
-            compose_steps: int = 50, stream: bool = True):
-    """End-to-end MVOC workflow wall-clock on one chip: DDIM-invert the
-    background + 2 object videos (500 steps each, cfg=1, like the
-    reference's stage 1 — reference: group_inversion/template.yaml:30-34)
-    then run the 50-step PnP composite (stage 2).  Random weights/inputs;
-    the compute graph, shapes and schedules are the real ones."""
+            compose_steps: int = 50, stream: bool = True,
+            mesh_devices: int = 0, batch: bool = False, reuse: int = 1):
+    """End-to-end MVOC workflow wall-clock: DDIM-invert the background +
+    2 object videos (500 steps each, cfg=1, like the reference's stage 1 —
+    reference: group_inversion/template.yaml:30-34) then run the 50-step
+    PnP composite (stage 2).  Random weights/inputs; the compute graph,
+    shapes and schedules are the real ones.
+
+    --batch: the 3 inversions ride the UNet batch axis as ONE scan
+    (core.ddim_inversion_batch_core) instead of running serially.
+    --mesh N: shard over an N-device (job, seq, model) mesh — inversions
+    padded onto the job axis, composite onto (seq, model).  When fewer
+    than N real devices exist, self-configures N virtual CPU devices and
+    switches to TINY shapes: a correctness/scaling-path demonstration of
+    the exact multi-chip program, not a performance number.
+    --reuse k: training-free encoder reuse in both stages (approximate)."""
     import time as _time
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.mvoc_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    virtual = False
+    if mesh_devices and mesh_devices > 1 and len(jax.devices()) < mesh_devices:
+        # the probe above initialized the (single-chip) backend; drop it,
+        # THEN reconfigure — both configs reject updates on a live backend
+        import jax.extend.backend
+
+        jax.extend.backend.clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", mesh_devices)
+        assert len(jax.devices()) >= mesh_devices, "virtual CPU mesh failed"
+        virtual = True
+
+    if not virtual:
+        # persistent compile cache (skip for the virtual CPU mesh: AOT CPU
+        # executables don't port across host machine feature sets)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.mvoc_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
 
     from mvoc_tpu import pnp as pnp_lib
     from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet, UNetConfig
     from mvoc_tpu.ops.ddim import (DDIM, SchedulerConfig, inversion_timesteps,
                                    sampling_timesteps)
+    from mvoc_tpu.parallel import mesh as pm
     from mvoc_tpu.pipeline import core
 
-    cfg = UNetConfig(temporal_natural_layout=natural)
-    F, H, W = n_frames, height_lat, width_lat
-    dtype = jnp.bfloat16
+    if virtual:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(UNetConfig.tiny(), temporal_natural_layout=natural)
+        F, H, W = 8, 8, 8
+        # the compose timestep grid (spacing 125) must be a subset of the
+        # inversion grid (spacing 25), like 50-vs-500 at full scale
+        invert_steps, compose_steps = 40, 8
+        dtype = jnp.float32
+    else:
+        cfg = UNetConfig(temporal_natural_layout=natural)
+        F, H, W = n_frames, height_lat, width_lat
+        dtype = jnp.bfloat16
     n_obj = 2
     model = I2VGenXLUNet(cfg, dtype=dtype)
     rng = np.random.default_rng(0)
+
+    mesh_inv = mesh_comp = None
+    if mesh_devices and mesh_devices > 1:
+        n = mesh_devices
+        job = 4 if n % 4 == 0 else (2 if n % 2 == 0 else 1)
+        mesh_inv = pm.make_mesh(n, job=job)
+        mesh_comp = pm.make_mesh(n)
 
     def mk(*shape):
         return jnp.asarray(rng.standard_normal(shape), dtype=dtype)
@@ -343,45 +474,112 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         encoder_hidden_states=mk(1, 77, cfg.cross_attention_dim),
     )
     params = jax.jit(lambda: model.init(jax.random.key(0), **init_inputs))()
-    params = jax.jit(lambda p: jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        p))(params)
+    if dtype == jnp.bfloat16:
+        params = jax.jit(lambda p: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            p))(params)
     ddim = DDIM(SchedulerConfig())
     apply = lambda p, **kw: model.apply(p, **kw)
+
+    def encoder_cache_zeros(b):
+        d = cfg.cross_attention_dim
+
+        def fn():
+            z = jnp.zeros((b, F, H, W, 4), dtype)
+            _, c = model.apply(
+                params, sample=z, timestep=jnp.zeros((), jnp.int32),
+                fps=jnp.zeros((), jnp.int32), image_latents_first=z,
+                image_latents=z,
+                image_embeddings=jnp.zeros((b, F, d), dtype),
+                encoder_hidden_states=jnp.zeros((b, 77, d), dtype),
+                return_encoder=True)
+            return c
+
+        shapes = jax.eval_shape(fn)
+        return jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes)
 
     # --- stage 1: 3 inversions (bg + 2 objects) -------------------------
     # the scan runs in CHUNKS of bounded wall-time per XLA execution: a
     # single 500-step program executes for minutes, which faults the
     # remote-TPU watchdog (single-step executions of ~seconds are fine)
-    chunk = 50
-    assert invert_steps % chunk == 0
     inv_ts_np = np.asarray(inversion_timesteps(SchedulerConfig(), invert_steps))
-    invert_fn = jax.jit(lambda p, x0, c, ts: core.ddim_inversion_core(
-        apply, ddim, p, x0, c, ts, invert_steps, 1.0))
-    cond1 = cond_for(1)
-    x0 = mk(F, H, W, 4).astype(jnp.float32)
-    # compile outside the timed region (the persistent cache makes repeat
-    # runs realistic); execution is timed
-    jax.block_until_ready(invert_fn(params, x0, cond1,
-                                    jnp.asarray(inv_ts_np[:chunk])))
+    reuse_kw = {}
+    if reuse > 1:
+        reuse_kw = dict(encoder_reuse_interval=int(reuse))
 
-    def invert_video(x0_j):
-        parts = []
-        cur = x0_j
+    if batch or mesh_inv is not None:
+        # batched inversion: J videos on the UNet batch axis; under a mesh
+        # the J axis is padded to the "job" width so every slice owns a video
+        J = n_obj + 1
+        if mesh_inv is not None:
+            job = mesh_inv.shape[pm.JOB_AXIS]
+            J = ((J + job - 1) // job) * job  # pad (the extra row is waste)
+        condJ = cond_for(J)
+        params_inv = params
+        if mesh_inv is not None:
+            import dataclasses as _dc
+
+            params_inv = pm.shard_params(params, mesh_inv)
+            sv = lambda t: pm.shard_stacked_video(t, mesh_inv)
+            condJ = _dc.replace(
+                condJ, image_latents_first=sv(condJ.image_latents_first),
+                image_latents=sv(condJ.image_latents))
+        chunk = 20 if not virtual else invert_steps
+        while invert_steps % chunk != 0:
+            chunk -= 1
+        kw = dict(reuse_kw)
+        if reuse > 1:
+            kw["init_encoder_cache"] = encoder_cache_zeros(J)
+        invert_fn = jax.jit(lambda p, x, c, ts: core.ddim_inversion_batch_core(
+            apply, ddim, p, x, c, ts, invert_steps, **kw))
+        x0 = mk(J, F, H, W, 4).astype(jnp.float32)
+        if mesh_inv is not None:
+            x0 = pm.shard_stacked_video(x0, mesh_inv)
+        jax.block_until_ready(invert_fn(params_inv, x0, condJ,
+                                        jnp.asarray(inv_ts_np[:chunk])))
+        t0 = _time.perf_counter()
+        parts, cur = [], x0
         for s in range(0, invert_steps, chunk):
-            seg = invert_fn(params, cur, cond1,
+            seg = invert_fn(params_inv, cur, condJ,
                             jnp.asarray(inv_ts_np[s : s + chunk]))
             cur = seg[-1]
             parts.append(seg)
-        return jnp.concatenate(parts, axis=0)
+        traj_all = jnp.concatenate(parts, axis=0)  # [S, J, F, H, W, 4]
+        jax.block_until_ready(traj_all)
+        t_invert = _time.perf_counter() - t0
+        trajs = [traj_all[:, j] for j in range(n_obj + 1)]
+    else:
+        chunk = 50
+        assert invert_steps % chunk == 0
+        kw = dict(reuse_kw)
+        if reuse > 1:
+            kw["init_encoder_cache"] = encoder_cache_zeros(1)
+        invert_fn = jax.jit(lambda p, x0, c, ts: core.ddim_inversion_core(
+            apply, ddim, p, x0, c, ts, invert_steps, 1.0, **kw))
+        cond1 = cond_for(1)
+        x0 = mk(F, H, W, 4).astype(jnp.float32)
+        # compile outside the timed region (the persistent cache makes repeat
+        # runs realistic); execution is timed
+        jax.block_until_ready(invert_fn(params, x0, cond1,
+                                        jnp.asarray(inv_ts_np[:chunk])))
 
-    t0 = _time.perf_counter()
-    trajs = []
-    for j in range(n_obj + 1):
-        x0_j = mk(F, H, W, 4).astype(jnp.float32)
-        trajs.append(invert_video(x0_j))
-    jax.block_until_ready(trajs)
-    t_invert = _time.perf_counter() - t0
+        def invert_video(x0_j):
+            parts = []
+            cur = x0_j
+            for s in range(0, invert_steps, chunk):
+                seg = invert_fn(params, cur, cond1,
+                                jnp.asarray(inv_ts_np[s : s + chunk]))
+                cur = seg[-1]
+                parts.append(seg)
+            return jnp.concatenate(parts, axis=0)
+
+        t0 = _time.perf_counter()
+        trajs = []
+        for j in range(n_obj + 1):
+            x0_j = mk(F, H, W, 4).astype(jnp.float32)
+            trajs.append(invert_video(x0_j))
+        jax.block_until_ready(trajs)
+        t_invert = _time.perf_counter() - t0
 
     # --- stage 2: 50-step composite -------------------------------------
     full_ts = sampling_timesteps(SchedulerConfig(), compose_steps)
@@ -391,7 +589,7 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
     inv_np = [np.asarray(t_) for t_ in trajs]
     idx_of = {int(t_): i for i, t_ in enumerate(inv_ts_np)}
     sel = [idx_of[int(t_)] for t_ in run_ts if int(t_) in idx_of]
-    # (with matching schedules every run t is in the inversion set)
+    assert len(sel) == S, "compose timesteps must be a subset of inversion's"
     bg_traj = inv_np[0][sel]
     obj_traj = np.stack([inv_np[1][sel], inv_np[2][sel]], axis=1)
     masks = np.zeros((n_obj, F, H, W), np.float32)
@@ -414,12 +612,39 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
     )
     condN = cond_for(n_obj + 3)
     cw = pnp_lib.build_capture_weights(pyr, pyr, True) if stream else None
+    comp_kw = {}
+    if reuse > 1:
+        if stream:
+            one = encoder_cache_zeros(1)
+            comp_kw = dict(
+                encoder_reuse_interval=int(reuse),
+                init_encoder_cache=(
+                    jax.tree.map(lambda x: jnp.broadcast_to(
+                        x[None], (n_obj + 1,) + x.shape), one),
+                    encoder_cache_zeros(2)))
+        else:
+            comp_kw = dict(encoder_reuse_interval=int(reuse),
+                           init_encoder_cache=encoder_cache_zeros(n_obj + 3))
+    params_comp = params
+    if mesh_comp is not None:
+        import dataclasses as _dc
+
+        params_comp = pm.shard_params(params, mesh_comp)
+        svc = lambda t, ax: pm.shard_video(t, mesh_comp, frame_axis=ax)
+        sched = _dc.replace(
+            sched, bg_traj=svc(sched.bg_traj, 1), obj_traj=svc(sched.obj_traj, 2),
+            obj_fusion_lat=svc(sched.obj_fusion_lat, 1))
+        condN = _dc.replace(
+            condN, image_latents_first=svc(condN.image_latents_first, 1),
+            image_latents=svc(condN.image_latents, 1))
     compose_fn = jax.jit(lambda p, lat, c, s: core.pnp_composite_core(
         apply, ddim, p, lat, c, s, jnp.asarray(masks), pyr, pyr,
         num_inference_steps=compose_steps, guidance_scale=9.0,
         random_noise_ratio=0.5, two_pass="stream" if stream else False,
-        capture_weights=cw))
+        capture_weights=cw, **comp_kw))
     xT = mk(F, H, W, 4).astype(jnp.float32)
+    if mesh_comp is not None:
+        xT = pm.shard_video(xT, mesh_comp, frame_axis=0)
 
     def sched_slice(lo, hi):
         import dataclasses as dc
@@ -437,30 +662,37 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
     while S % c_chunk != 0:
         c_chunk -= 1
     jax.block_until_ready(
-        compose_fn(params, xT, condN, sched_slice(0, c_chunk)))  # compile
+        compose_fn(params_comp, xT, condN, sched_slice(0, c_chunk)))  # compile
 
     t0 = _time.perf_counter()
     lat = xT
     for s0 in range(0, S, c_chunk):
-        lat = compose_fn(params, lat, condN, sched_slice(s0, s0 + c_chunk))
+        lat = compose_fn(params_comp, lat, condN, sched_slice(s0, s0 + c_chunk))
     jax.block_until_ready(lat)
     t_compose = _time.perf_counter() - t0
 
     total = t_invert + t_compose
+    shape_tag = "tiny_virtual" if virtual else "16f_512px"
     print(json.dumps({
-        "metric": "e2e_invert3x%d_compose%d_16f_512px_wall_seconds"
-        % (invert_steps, compose_steps),
+        "metric": "e2e_invert3x%d_compose%d_%s_wall_seconds"
+        % (invert_steps, compose_steps, shape_tag)
+        + ("_mesh%d" % mesh_devices if mesh_devices else "")
+        + ("_batch" if (batch or mesh_inv is not None) else "")
+        + ("_reuse%d" % reuse if reuse > 1 else ""),
         "value": round(total, 2),
         "unit": "s",
         "vs_baseline": None,
         "breakdown": {"invert_s": round(t_invert, 2),
-                      "compose_s": round(t_compose, 2)},
+                      "compose_s": round(t_compose, 2),
+                      "virtual_cpu_mesh": virtual,
+                      "mesh": dict(mesh_comp.shape) if mesh_comp else None},
     }))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", choices=["smoke", "full", "full720", "e2e"],
+    ap.add_argument("--preset", choices=["smoke", "full", "full720", "long64",
+                                         "e2e"],
                     default="full")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--reuse", type=int, default=1,
@@ -475,12 +707,24 @@ def main():
     ap.add_argument("--natural", action="store_true",
                     help="frame-major temporal transformers (no layout "
                     "transposes at non-edit sites; exact)")
+    ap.add_argument("--reuse_depth", type=int, default=None,
+                    help="partial-depth encoder reuse: cache only down "
+                    "blocks K.. + mid (smaller cache; fits 720p)")
+    ap.add_argument("--pab", type=int, default=1,
+                    help="PAB attention-output broadcast interval on the "
+                    "fused path (approximate; 1 = off/exact)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="(e2e) shard over an N-device (job, seq, model) "
+                    "mesh; uses N virtual CPU devices at tiny shapes when "
+                    "fewer real devices exist")
+    ap.add_argument("--batch", action="store_true",
+                    help="(e2e) run the 3 inversions as one batched scan")
     args = ap.parse_args()
 
     import jax
 
     if (args.preset == "full" and not args.two_pass and not args.stream
-            and not args.natural and args.reuse == 1
+            and not args.natural and args.reuse == 1 and args.pab == 1
             and not os.environ.get("MVOC_BENCH_FUSED")):
         # default = the recommended production configuration: streamed
         # capture + frame-major temporal layout.  EXACT w.r.t. the fused
@@ -490,13 +734,14 @@ def main():
         args.natural = True
 
     if args.preset == "e2e":
-        assert args.reuse == 1, "e2e preset measures the exact path only"
-        run_e2e(natural=args.natural, stream=not args.two_pass)
+        run_e2e(natural=args.natural, stream=not args.two_pass,
+                mesh_devices=args.mesh, batch=args.batch, reuse=args.reuse)
         return
 
-    iters = args.iters or (10 if args.preset.startswith("full") else 2)
-    make_step, make_two_pass, make_stream, params, sample, latents = build(
-        args.preset, natural=args.natural)
+    iters = args.iters or (10 if args.preset.startswith("full")
+                           else 4 if args.preset == "long64" else 2)
+    make_step, make_two_pass, make_stream, make_pab, params, sample, latents = build(
+        args.preset, natural=args.natural, reuse_depth=args.reuse_depth)
     import jax.numpy as jnp
 
     gate = jnp.asarray(True)  # traced input: injection work cannot be DCE'd
@@ -525,18 +770,26 @@ def main():
                 s, l = st(params, s, l, gate)
         jax.block_until_ready((s, l))
         dt = _time.perf_counter() - t0
+        k = args.reuse
+        costs = [(cost_flops(st, params, s, l, gate), 1.0 / k)]
+        if st_cached is not None:
+            costs.append((cost_flops(st_cached, params, s, l, gate, c),
+                          (k - 1.0) / k))
         print(json.dumps({
             "metric": {
                 "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
                 "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
+                "long64": "composite_denoise_steps_per_sec_per_chip_64f_512px_window16",
                 "smoke": "composite_denoise_steps_per_sec_smoke",
             }[args.preset] + "_stream"
             + (f"_reuse{args.reuse}" if args.reuse > 1 else "")
+            + (f"d{args.reuse_depth}" if args.reuse > 1 and args.reuse_depth else "")
             + ("_natural" if args.natural else ""),
             "value": round(iters / dt, 4),
             "unit": "steps/s",
             "vs_baseline": round((iters / dt) / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3)
             if args.preset == "full" and args.reuse == 1 else None,
+            **mfu_fields(costs, iters / dt),
         }))
         return
     if args.two_pass:
@@ -564,17 +817,60 @@ def main():
                 s, l = tp(params, s, l, gate)
         jax.block_until_ready((s, l))
         dt = _time.perf_counter() - t0
+        k = args.reuse
+        costs = [(cost_flops(tp, params, s, l, gate), 1.0 / k)]
+        if tp_cached is not None:
+            costs.append((cost_flops(tp_cached, params, s, l, gate, c),
+                          (k - 1.0) / k))
         print(json.dumps({
             "metric": {
                 "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
                 "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
+                "long64": "composite_denoise_steps_per_sec_per_chip_64f_512px_window16",
                 "smoke": "composite_denoise_steps_per_sec_smoke",
             }[args.preset] + "_two_pass"
             + (f"_reuse{args.reuse}" if args.reuse > 1 else "")
+            + (f"d{args.reuse_depth}" if args.reuse > 1 and args.reuse_depth else "")
             + ("_natural" if args.natural else ""),
             "value": round(iters / dt, 4),
             "unit": "steps/s",
             "vs_baseline": None,
+            **mfu_fields(costs, iters / dt),
+        }))
+        return
+
+    if args.pab > 1:
+        assert not (args.two_pass or args.stream) and args.reuse == 1, (
+            "--pab measures the fused path")
+        pab_fresh = make_pab(cached=False)
+        pab_cached = make_pab(cached=True)
+        s, l, c = pab_fresh(params, sample, latents, gate)
+        jax.block_until_ready((s, l))
+        s2, l2, _ = pab_cached(params, s, l, gate, c)
+        jax.block_until_ready((s2, l2))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            if i % args.pab != 0:
+                s, l, c = pab_cached(params, s, l, gate, c)
+            else:
+                s, l, c = pab_fresh(params, s, l, gate)
+        jax.block_until_ready((s, l))
+        dt = time.perf_counter() - t0
+        k = args.pab
+        costs = [(cost_flops(pab_fresh, params, s, l, gate), 1.0 / k),
+                 (cost_flops(pab_cached, params, s, l, gate, c), (k - 1.0) / k)]
+        print(json.dumps({
+            "metric": {
+                "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
+                "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
+                "long64": "composite_denoise_steps_per_sec_per_chip_64f_512px_window16",
+                "smoke": "composite_denoise_steps_per_sec_smoke",
+            }[args.preset] + f"_pab{args.pab}"
+            + ("_natural" if args.natural else ""),
+            "value": round(iters / dt, 4),
+            "unit": "steps/s",
+            "vs_baseline": None,
+            **mfu_fields(costs, iters / dt),
         }))
         return
 
@@ -598,17 +894,25 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_sec = iters / dt
+    k = args.reuse
+    costs = [(cost_flops(fresh_step, params, s, l, gate), 1.0 / k)]
+    if cached_step is not None:
+        costs.append((cost_flops(cached_step, params, s, l, gate, c),
+                      (k - 1.0) / k))
     print(json.dumps({
         "metric": {
             "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
             "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
+            "long64": "composite_denoise_steps_per_sec_per_chip_64f_512px_window16",
             "smoke": "composite_denoise_steps_per_sec_smoke",
         }[args.preset] + (f"_reuse{args.reuse}" if args.reuse > 1 else "")
+            + (f"d{args.reuse_depth}" if args.reuse > 1 and args.reuse_depth else "")
         + ("_natural" if args.natural else ""),
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3)
         if args.preset == "full" else None,
+        **mfu_fields(costs, steps_per_sec),
     }))
 
 

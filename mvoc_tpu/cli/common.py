@@ -31,6 +31,26 @@ def parse_args(default_template: str):
                    choices=["bfloat16", "float32"])
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler (TensorBoard) trace here")
+    p.add_argument(
+        "--mesh", type=str, default=None,
+        help="shard the pipeline over a device mesh: an int device count or "
+        "'auto' (all visible devices); overrides the template's mesh_devices",
+    )
+    p.add_argument(
+        "--batch", action="store_true",
+        help="(inverse) invert all uncached same-signature videos as one "
+        "batched scan — the UNet batch axis / mesh 'job' axis carries them",
+    )
+    p.add_argument(
+        "--mesh_seq", type=int, default=None,
+        help="frame-parallel ('seq') width of the mesh; rest is tensor "
+        "parallelism (default: min(n, 4))",
+    )
+    p.add_argument(
+        "--mesh_job", type=int, default=None,
+        help="independent-video ('job') width of the mesh (pairs with "
+        "--batch; default 1)",
+    )
     return p.parse_args()
 
 
@@ -66,6 +86,41 @@ def build_pipeline(args, template_cfg):
     from mvoc_tpu.pipeline.i2vgen import I2VGenXLPipeline
 
     return I2VGenXLPipeline.from_pretrained(ckpt, dtype=dtype)
+
+
+def apply_mesh(pipe, args, template_cfg):
+    """Shard the pipeline over a (seq, model) device mesh when requested via
+    --mesh / --mesh_seq or the template keys mesh_devices / mesh_seq.
+    TPU-native extension — the reference is single-GPU (SURVEY.md §2.4)."""
+    import jax
+
+    spec = args.mesh if args.mesh is not None else template_cfg.get("mesh_devices")
+    if spec in (None, "", 0, "0", "off", False):
+        return pipe
+    n = len(jax.devices()) if str(spec) == "auto" else int(spec)
+    avail = len(jax.devices())
+    if n > avail:
+        logger.warning("mesh_devices=%d > %d visible devices — using %d",
+                       n, avail, avail)
+        n = avail
+    seq = args.mesh_seq if args.mesh_seq is not None else template_cfg.get("mesh_seq")
+    job = args.mesh_job if args.mesh_job is not None else template_cfg.get("mesh_job")
+    pipe = pipe.enable_mesh(n, seq=int(seq) if seq else None,
+                            job=int(job) if job else 1)
+    cp = template_cfg.get("context_parallel")
+    if cp:
+        # ring/Ulysses temporal attention over the sharded frame axis
+        # (ops/ring_attention; template key `context_parallel: ring|ulysses`)
+        import dataclasses
+
+        from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet
+
+        new_cfg = dataclasses.replace(
+            pipe.unet.config, temporal_cp=(str(cp), pipe.mesh))
+        pipe.unet = I2VGenXLUNet(new_cfg, dtype=pipe.unet.dtype)
+        pipe._build_jits()
+        logger.info("temporal context parallelism: %s", cp)
+    return pipe
 
 
 def check_replaceme(cfg) -> None:

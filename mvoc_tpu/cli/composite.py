@@ -71,6 +71,10 @@ def run_entry(pipe, config) -> None:
     bg_store = TrajectoryStore(config.bg_ddim_latents_path)
     obj_stores = [TrajectoryStore(p) for p in config.obj_ddim_latents_path]
 
+    if config.get("enable_vae_tiling", False):
+        # reference parity memory knob (pipeline_i2vgen_xl.py:520-550)
+        pipe.enable_vae_tiling()
+
     video = pipe.sample_composite(
         prompt=config.editing_prompt,
         main_first_image=main_1st,
@@ -95,14 +99,24 @@ def run_entry(pipe, config) -> None:
         obj_random_noise_fusion=config.get("obj_random_noise_fusion", False),
         random_noise_ratio=config.get("random_noise_ratio", 0.0),
         inject_background=config.get("inject_background", True),
+        # reference quirk (default on): per-frame CLIP inputs are the
+        # UNCROPPED frames resized (pipeline_i2vgen_xl.py:1505-1508)
+        strict_reference_crop=config.get("strict_reference_crop", True),
         # mvoc_tpu extension (not in the reference): training-free encoder
         # reuse; 1 = exact reference semantics
         encoder_reuse_interval=config.get("encoder_reuse_interval", 1),
+        encoder_reuse_depth=config.get("encoder_reuse_depth", None),
+        # mvoc_tpu extension: PAB attention-output broadcast (approximate;
+        # 1 = off/exact)
+        pab_interval=config.get("pab_interval", 1),
         two_pass=config.get("two_pass", False),
         pnp_f_t=config.pnp_f_t,
         pnp_spatial_attn_t=config.pnp_spatial_attn_t,
         pnp_temp_attn_t=config.pnp_temp_attn_t,
         seed=config.get("seed", 6),
+        # per-frame VAE decode by default (reference: decode_chunk_size=1,
+        # pipeline_i2vgen_xl.py:771-791); 0/None decodes the full batch
+        decode_chunk_size=config.get("decode_chunk_size", 1) or None,
     )
 
     # parameter-encoded output dirname (reference: composite.py:195-213)
@@ -130,6 +144,7 @@ def main() -> None:
     common.setup_logging(template)
     pipe = common.build_pipeline(args, template)
     pipe = common.apply_unet_options(pipe, template)
+    pipe = common.apply_mesh(pipe, args, template)
 
     for entry in entries:
         if not entry.get("active", True):

@@ -28,7 +28,9 @@ from mvoc_tpu.utils.metrics import psnr, ssim
 logger = logging.getLogger("mvoc_tpu.inverse")
 
 
-def run_entry(pipe, config) -> None:
+def _load_entry_frames(config):
+    """Load (frames, first_frame) for one config entry, honoring the
+    static-video and null-first-image inversion modes."""
     from PIL import Image
 
     image_size = tuple(config.image_size)
@@ -49,9 +51,17 @@ def run_entry(pipe, config) -> None:
     if inv.get("null_image_inversion", False):
         logger.info("using a null first image")
         first_frame = Image.new("RGB", image_size, (0, 0, 0))
+    return frames, first_frame
 
+
+def _has_valid_cache(config) -> bool:
+    """True when a usable trajectory store exists for this entry (same
+    skip-if-cached contract as the reference, inverse.py:181-183, plus a
+    meta staleness check)."""
     from mvoc_tpu.io.trajectory import NATIVE_NAME, STACK_NAME
 
+    inv = config.inverse_config
+    image_size = tuple(config.image_size)
     out_dir = inv.output_dir
     has_cache = any(
         os.path.exists(os.path.join(out_dir, n)) for n in (NATIVE_NAME, STACK_NAME)
@@ -65,7 +75,55 @@ def run_entry(pipe, config) -> None:
         logger.warning("cached trajectory at %s was produced by a different "
                        "config — recomputing", out_dir)
         has_cache = False
-    if has_cache and not config.get("force_recompute_latents", False):
+    return has_cache and not config.get("force_recompute_latents", False)
+
+
+def run_batched(pipe, configs) -> None:
+    """Invert all uncached entries that share an inversion signature as ONE
+    batched scan (pipe.invert_batch: videos ride the UNet batch axis, shard
+    over the mesh "job" axis).  Entries whose settings differ, or with
+    cfg != 1, fall through to the sequential path in run_entry."""
+    groups: dict[tuple, list] = {}
+    for config in configs:
+        inv = config.inverse_config
+        if _has_valid_cache(config) or float(inv.cfg) != 1.0:
+            continue
+        key = (
+            tuple(config.image_size), config.n_frames, inv.n_steps,
+            inv.target_fps, inv.prompt, config.get("seed", 8888),
+            inv.get("encoder_reuse_interval", 1),
+        )
+        groups.setdefault(key, []).append(config)
+
+    for key, group in groups.items():
+        if len(group) < 2:
+            continue  # nothing to batch; sequential path handles it
+        image_size, n_frames, n_steps, fps, prompt, seed, reuse = key
+        videos, firsts, out_dirs = [], [], []
+        for config in group:
+            frames, first = _load_entry_frames(config)
+            videos.append(frames)
+            firsts.append(first)
+            out_dirs.append(config.inverse_config.output_dir)
+        logger.info("batched inversion of %d videos: %s", len(group),
+                    [c.video_name for c in group])
+        pipe.invert_batch(
+            videos, first_frames=firsts, prompt=prompt,
+            height=image_size[1], width=image_size[0], target_fps=fps,
+            num_frames=n_frames, num_inference_steps=n_steps, seed=seed,
+            output_dirs=out_dirs, encoder_reuse_interval=reuse,
+        )
+        for config in group:
+            # the per-entry pass must now pick up the fresh cache
+            config.force_recompute_latents = False
+
+
+def run_entry(pipe, config) -> None:
+    image_size = tuple(config.image_size)
+    inv = config.inverse_config
+    out_dir = inv.output_dir
+    frames, first_frame = _load_entry_frames(config)
+    if _has_valid_cache(config):
         logger.info("skipping inversion — %s already exists", out_dir)
     else:
         ts, _ = pipe.invert(
@@ -83,6 +141,7 @@ def run_entry(pipe, config) -> None:
             output_dir=out_dir,
             # mvoc_tpu extension (not in the reference): 1 = exact
             encoder_reuse_interval=inv.get("encoder_reuse_interval", 1),
+            encoder_reuse_depth=inv.get("encoder_reuse_depth", None),
         )
         logger.info("inversion done: %d steps -> %s", len(ts), out_dir)
 
@@ -128,19 +187,27 @@ def main() -> None:
     common.setup_logging(template)
     pipe = common.build_pipeline(args, template)
     pipe = common.apply_unet_options(pipe, template)
+    pipe = common.apply_mesh(pipe, args, template)
 
     from mvoc_tpu.utils.profiling import StepTimer, save_run_config, trace
 
+    configs = []
+    for entry in entries:
+        if not entry.get("active", True):
+            logger.info("skipping inactive entry %s", entry.get("video_name"))
+            continue
+        config = cfglib.merge(template, entry)
+        config.video_path = os.path.join(config.video_dir, config.video_name + ".mp4")
+        config.video_frames_path = os.path.join(config.video_dir, config.video_name)
+        common.check_replaceme(config)
+        configs.append(config)
+
     timer = StepTimer()
     with trace(args.profile_dir):
-        for entry in entries:
-            if not entry.get("active", True):
-                logger.info("skipping inactive entry %s", entry.get("video_name"))
-                continue
-            config = cfglib.merge(template, entry)
-            config.video_path = os.path.join(config.video_dir, config.video_name + ".mp4")
-            config.video_frames_path = os.path.join(config.video_dir, config.video_name)
-            common.check_replaceme(config)
+        if (args.batch or template.get("batch_inversions", False)) and len(configs) > 1:
+            with timer.stage("invert/batched"):
+                run_batched(pipe, configs)
+        for config in configs:
             logger.info("processing %s", config.video_name)
             with timer.stage(f"invert/{config.video_name}"):
                 run_entry(pipe, config)

@@ -82,13 +82,16 @@ class TrajectoryStore:
         with open(p) as f:
             return json.load(f)
 
-    def matches_meta(self, expected: dict) -> bool:
+    def matches_meta(self, expected: dict, missing_ok: bool = False) -> bool:
         """True when a cached trajectory was produced by `expected` (compared
-        on the intersection of keys; no meta file = assume match, matching
-        the reference's path-only skip check, inverse.py:181-183)."""
+        on the intersection of keys).  A missing meta file does NOT match by
+        default: a store written without provenance (stale/foreign cache)
+        must not silently satisfy a skip-if-cached check — stricter than the
+        reference's path-only test (inverse.py:181-183).  Pass
+        missing_ok=True for the legacy behavior."""
         got = self.meta
         if got is None:
-            return True
+            return missing_ok
         return all(str(got.get(k)) == str(v) for k, v in expected.items() if k in got)
 
     # -- read -------------------------------------------------------------

@@ -192,8 +192,6 @@ def unet_key_fn(path: str) -> list[str] | None:
     # TemporalConvLayer: convN.0 = GroupNorm, convN.2 = Conv3d
     joined = re.sub(r"(temp_convs_\d+)/(conv\d)_0", r"\1/\2_norm", joined)
     joined = re.sub(r"(temp_convs_\d+)/(conv\d)_2", r"\1/\2_conv", joined)
-    # attention output projection: to_out.0
-    joined = joined.replace("/to_out_0", "/to_out_0")
     # feed-forward GEGLU: ff.net.0.proj / ff.net.2
     joined = joined.replace("/ff/net_0/proj", "/ff/net_0_proj")
     # time/fps embeddings keep names (linear_1/linear_2)
@@ -275,6 +273,144 @@ def _fix_clip_raw_params(tree: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# geometry inference (no silent mis-wires on real checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def infer_unet_geometry(sd: Dict[str, np.ndarray], cfg):
+    """Derive attention geometry from the checkpoint's tensor SHAPES instead
+    of trusting hardcoded assumptions (the reference relies on diffusers'
+    in-code constants: 8-head transformer_in, 2-head
+    I2VGenXLTransformerTemporalEncoder — neither is in config.json).
+
+    Shape-observable facts:
+      * transformer_in inner dim  = to_q out rows -> per-head dim given the
+        8-head constant (validated divisible),
+      * temporal-encoder inner dim = its to_q out rows -> per-head dim,
+      * per-block attention inner dims must equal block channels (validates
+        the heads = channels // attention_head_dim rule from config.json).
+    Returns a config with the shape-derived fields filled in; raises when a
+    shape contradicts the assumed head counts."""
+    import dataclasses
+
+    def out_rows(key):
+        if key not in sd:
+            raise KeyError(f"geometry probe missing from checkpoint: {key}")
+        return int(sd[key].shape[0])
+
+    ti_inner = out_rows("transformer_in.transformer_blocks.0.attn1.to_q.weight")
+    if ti_inner % cfg.transformer_in_heads != 0:
+        raise ValueError(
+            f"transformer_in inner dim {ti_inner} not divisible by the "
+            f"assumed {cfg.transformer_in_heads} heads")
+    enc_inner = out_rows("image_latents_temporal_encoder.attn1.to_q.weight")
+    if enc_inner % cfg.img_temporal_encoder_heads != 0:
+        raise ValueError(
+            f"image_latents_temporal_encoder inner dim {enc_inner} not "
+            f"divisible by the assumed {cfg.img_temporal_encoder_heads} heads")
+
+    # validate the heads = ch // attention_head_dim rule at every
+    # cross-attention block resolution
+    for blk, ch in (("down_blocks.0.attentions.0", cfg.block_out_channels[0]),
+                    ("down_blocks.1.attentions.0", cfg.block_out_channels[1]),
+                    ("mid_block.attentions.0", cfg.block_out_channels[-1])):
+        key = f"{blk}.transformer_blocks.0.attn1.to_q.weight"
+        if key in sd:
+            inner = int(sd[key].shape[0])
+            if inner != ch:
+                raise ValueError(
+                    f"{blk}: attention inner dim {inner} != block channels "
+                    f"{ch} — the heads = channels//attention_head_dim rule "
+                    f"does not hold for this checkpoint")
+            if ch % cfg.attention_head_dim != 0:
+                raise ValueError(
+                    f"{blk}: channels {ch} not divisible by "
+                    f"attention_head_dim {cfg.attention_head_dim}")
+
+    cfg = dataclasses.replace(
+        cfg,
+        transformer_in_head_dim=ti_inner // cfg.transformer_in_heads,
+        img_temporal_encoder_head_dim=enc_inner // cfg.img_temporal_encoder_heads,
+    )
+    logger.info(
+        "unet geometry from checkpoint shapes: transformer_in %dx%d, "
+        "temporal encoder %dx%d", cfg.transformer_in_heads,
+        cfg.transformer_in_head_dim, cfg.img_temporal_encoder_heads,
+        cfg.img_temporal_encoder_head_dim)
+    return cfg
+
+
+def verify_activations(pipe, seed: int = 0) -> dict:
+    """Run every loaded model on deterministic inputs with flax
+    capture_intermediates and check per-module activation statistics: any
+    non-finite intermediate raises (loud failure instead of silently-wrong
+    outputs); zero-variance modules are logged as suspects.  Returns
+    {model/module_path: (mean, std)} for reporting."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    stats: dict[str, tuple[float, float]] = {}
+    suspects: list[str] = []
+
+    def collect(tag, variables):
+        flat = jax.tree_util.tree_flatten_with_path(
+            variables.get("intermediates", {}))[0]
+        for path, leaf in flat:
+            name = tag + "/" + "/".join(
+                p.key if hasattr(p, "key") else str(p) for p in path)
+            arr = np.asarray(leaf, dtype=np.float32)
+            if not np.isfinite(arr).all():
+                raise ValueError(
+                    f"non-finite activation at {name} — checkpoint "
+                    f"conversion produced a broken module")
+            m, s = float(arr.mean()), float(arr.std())
+            stats[name] = (m, s)
+            if s == 0.0 and arr.size > 1:
+                suspects.append(name)
+
+    f, d = 2, pipe.unet.config.cross_attention_dim
+    lat = 8
+    mk = lambda *sh: jnp.asarray(
+        rng.standard_normal(sh), dtype=pipe.dtype)
+    _, v = pipe.unet.apply(
+        pipe.params["unet"],
+        sample=mk(1, f, lat, lat, pipe.unet.config.in_channels),
+        timestep=jnp.asarray([501]), fps=jnp.asarray([8]),
+        image_latents_first=mk(1, f, lat, lat, pipe.unet.config.in_channels),
+        image_latents=mk(1, f, lat, lat, pipe.unet.config.in_channels),
+        image_embeddings=mk(1, f, d),
+        encoder_hidden_states=mk(1, 77, d),
+        capture_intermediates=True, mutable=["intermediates"])
+    collect("unet", v)
+
+    hw = 8 * pipe.vae_scale_factor
+    _, v = pipe.vae.apply(
+        pipe.params["vae"], mk(1, hw, hw, 3),
+        capture_intermediates=True, mutable=["intermediates"])
+    collect("vae", v)
+
+    vocab = pipe.text_encoder.config.vocab_size
+    ids = jnp.asarray(rng.integers(0, vocab, (1, 7)), jnp.int32)
+    _, v = pipe.text_encoder.apply(
+        pipe.params["text_encoder"], ids,
+        capture_intermediates=True, mutable=["intermediates"])
+    collect("text_encoder", v)
+
+    sz = pipe.clip_image_size
+    _, v = pipe.image_encoder.apply(
+        pipe.params["image_encoder"], mk(1, sz, sz, 3),
+        capture_intermediates=True, mutable=["intermediates"])
+    collect("image_encoder", v)
+
+    if suspects:
+        logger.warning("zero-variance activations (check wiring): %s",
+                       suspects[:20])
+    logger.info("activation verify OK: %d modules finite", len(stats))
+    return stats
+
+
+# ---------------------------------------------------------------------------
 # top-level loader
 # ---------------------------------------------------------------------------
 
@@ -299,14 +435,18 @@ def load_pipeline(checkpoint_dir: str, dtype=None):
     vision_cfg = CLIPVisionConfig.from_json(os.path.join(checkpoint_dir, "image_encoder", "config.json"))
     sched_cfg = SchedulerConfig.from_pretrained(checkpoint_dir)
 
+    # derive the non-config attention geometry from the checkpoint's own
+    # tensor shapes (raises on contradiction — no silent mis-wires)
+    unet_sd = load_torch_state_dict(os.path.join(checkpoint_dir, "unet"))
+    unet_cfg = infer_unet_geometry(unet_sd, unet_cfg)
+
     unet = I2VGenXLUNet(unet_cfg, dtype=dtype)
     vae = AutoencoderKL(vae_cfg, dtype=dtype)
     text = CLIPTextModel(text_cfg, dtype=dtype)
     vision = CLIPVisionModelWithProjection(vision_cfg, dtype=dtype)
 
     params = {
-        "unet": {"params": convert_state_dict(
-            load_torch_state_dict(os.path.join(checkpoint_dir, "unet")), unet_key_fn)},
+        "unet": {"params": convert_state_dict(unet_sd, unet_key_fn)},
         "vae": {"params": convert_state_dict(
             load_torch_state_dict(os.path.join(checkpoint_dir, "vae")), vae_key_fn)},
         "text_encoder": {"params": _fix_clip_raw_params(convert_state_dict(
@@ -360,3 +500,42 @@ def load_pipeline(checkpoint_dir: str, dtype=None):
         unet=unet, vae=vae, text_encoder=text, image_encoder=vision,
         params=params, scheduler_config=sched_cfg, tokenizer=tokenizer, dtype=dtype,
     )
+
+
+def main():
+    """CLI: convert + verify a checkpoint without running a pipeline job.
+
+      python -m mvoc_tpu.models.convert <checkpoint_dir> [--verify]
+
+    --verify additionally runs every module on deterministic inputs and
+    checks per-module activation statistics (verify_activations)."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("checkpoint_dir")
+    ap.add_argument("--verify", action="store_true",
+                    help="run per-module activation statistics")
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    pipe = load_pipeline(args.checkpoint_dir)
+    import jax
+
+    n_params = sum(int(np.prod(np.shape(x)))
+                   for x in jax.tree_util.tree_leaves(pipe.params))
+    print(f"conversion OK: {n_params / 1e9:.3f}B parameters "
+          f"(unet geometry: transformer_in "
+          f"{pipe.unet.config.transformer_in_heads}x"
+          f"{pipe.unet.config.transformer_in_head_dim}, temporal encoder "
+          f"{pipe.unet.config.img_temporal_encoder_heads}x"
+          f"{pipe.unet.config.img_temporal_encoder_head_dim})")
+    if args.verify:
+        stats = verify_activations(pipe)
+        worst = sorted(stats.items(), key=lambda kv: -abs(kv[1][0]))[:10]
+        for name, (m, s) in worst:
+            print(f"  {name}: mean {m:+.4f} std {s:.4f}")
+        print(f"activation verify OK: {len(stats)} modules finite")
+
+
+if __name__ == "__main__":
+    main()

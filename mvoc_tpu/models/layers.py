@@ -236,11 +236,14 @@ class Attention(nn.Module):
     query_dim: int
     heads: int
     dim_head: int
-    cross_attention_dim: Optional[int] = None  # None -> self attention
     out_bias: bool = True
     # frame-axis self-attention over [B, F, S, C] tokens (no [B*S, F, C]
     # layout transpose) — see sdpa_frames
     frame_axis: bool = False
+    # context-parallel override: (q, k, v, heads) -> out replacing sdpa —
+    # ring/Ulysses attention over the sharded frame axis (ops/ring_attention);
+    # the impl carries its own window mask, so attn_mask is bypassed
+    attn_impl: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -258,7 +261,9 @@ class Attention(nn.Module):
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
         if qk_edit is not None:
             q, k = qk_edit(q, k)
-        if self.frame_axis:
+        if self.attn_impl is not None:
+            out = self.attn_impl(q, k, v, self.heads)
+        elif self.frame_axis:
             out = sdpa_frames(q, k, v, self.heads, mask=attn_mask)
         else:
             out = sdpa(q, k, v, self.heads, mask=attn_mask)
@@ -327,11 +332,11 @@ class BasicTransformerBlock(nn.Module):
     dim: int
     heads: int
     dim_head: int
-    cross_attention_dim: Optional[int] = None
     double_self_attention: bool = False
     activation: str = "geglu"
     ff_chunk_rows: int = 0
     frame_axis: bool = False  # tokens are [B, F, S, C]; attend across F
+    attn_impl: Optional[Callable] = None  # context-parallel self-attn override
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -341,22 +346,40 @@ class BasicTransformerBlock(nn.Module):
         encoder_hidden_states: Optional[jax.Array] = None,
         attn1_qk_edit: Optional[QKEdit] = None,
         attn_mask: Optional[jax.Array] = None,
+        pab: Optional[tuple] = None,
     ) -> jax.Array:
-        h = LayerNorm(dtype=self.dtype, name="norm1")(hidden_states)
-        h = Attention(
+        # pab = (cache, rec, site): PAB-style attention-output broadcast
+        # (arXiv 2408.12588).  cache: site->output dict — SKIP the attention
+        # sublayer and reuse the prior step's output; rec: dict collected by
+        # the caller to build the next cache.  The residual stream and FF
+        # still run fresh every step (the PAB formulation).
+        def run_attn(name: str, compute):
+            if pab is None:
+                return compute()
+            cache, rec, site = pab
+            key = f"{site}.{name}"
+            out = cache[key] if cache is not None else compute()
+            if rec is not None:
+                rec[key] = out
+            return out
+
+        h1 = LayerNorm(dtype=self.dtype, name="norm1")(hidden_states)
+        h = run_attn("a1", lambda: Attention(
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
-            frame_axis=self.frame_axis, dtype=self.dtype, name="attn1",
-        )(h, qk_edit=attn1_qk_edit, attn_mask=attn_mask)
+            frame_axis=self.frame_axis, attn_impl=self.attn_impl,
+            dtype=self.dtype, name="attn1",
+        )(h1, qk_edit=attn1_qk_edit, attn_mask=attn_mask))
         hidden_states = h + hidden_states
 
-        h = LayerNorm(dtype=self.dtype, name="norm2")(hidden_states)
+        h2 = LayerNorm(dtype=self.dtype, name="norm2")(hidden_states)
         ctx = None if self.double_self_attention else encoder_hidden_states
-        h = Attention(
+        h = run_attn("a2", lambda: Attention(
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
-            cross_attention_dim=None if self.double_self_attention else self.cross_attention_dim,
-            frame_axis=self.frame_axis, dtype=self.dtype, name="attn2",
-        )(h, encoder_hidden_states=ctx,
-          attn_mask=attn_mask if self.double_self_attention else None)
+            frame_axis=self.frame_axis,
+            attn_impl=self.attn_impl if self.double_self_attention else None,
+            dtype=self.dtype, name="attn2",
+        )(h2, encoder_hidden_states=ctx,
+          attn_mask=attn_mask if self.double_self_attention else None))
         hidden_states = h + hidden_states
 
         h = LayerNorm(dtype=self.dtype, name="norm3")(hidden_states)
@@ -388,6 +411,7 @@ class Transformer2DModel(nn.Module):
         hidden_states: jax.Array,
         encoder_hidden_states: jax.Array,
         attn1_qk_edit: Optional[QKEdit] = None,
+        pab: Optional[tuple] = None,
     ) -> jax.Array:
         bf, h, w, c = hidden_states.shape
         inner = self.heads * self.dim_head
@@ -398,10 +422,11 @@ class Transformer2DModel(nn.Module):
         for i in range(self.num_layers):
             x = BasicTransformerBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
-                cross_attention_dim=self.cross_attention_dim,
                 ff_chunk_rows=self.ff_chunk_rows,
                 dtype=self.dtype, name=f"transformer_blocks_{i}",
-            )(x, encoder_hidden_states, attn1_qk_edit=attn1_qk_edit if i == 0 else None)
+            )(x, encoder_hidden_states,
+              attn1_qk_edit=attn1_qk_edit if i == 0 else None,
+              pab=(pab[0], pab[1], f"{pab[2]}.b{i}") if pab else None)
         x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
         return x.reshape(bf, h, w, c) + residual
 
@@ -429,6 +454,13 @@ class TransformerTemporalModel(nn.Module):
     # no standalone layout copies.  Callers passing attn1_qk_edit must
     # build the edit for this layout (unet_i2vgen._temporal_qk_edit_natural).
     natural_layout: bool = False
+    # context parallelism over the sharded frame axis: "ring" (K/V rotate
+    # via ppermute) or "ulysses" (all-to-all head exchange) with cp_mesh the
+    # device mesh whose "seq" axis shards frames (ops/ring_attention).
+    # Exact; composes with `window` (band mask on global frame positions).
+    # Standard layout only (natural_layout keeps GSPMD collectives).
+    context_parallel: Optional[str] = None
+    cp_mesh: Optional[object] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -437,6 +469,7 @@ class TransformerTemporalModel(nn.Module):
         hidden_states: jax.Array,
         num_frames: int,
         attn1_qk_edit: Optional[QKEdit] = None,
+        pab: Optional[tuple] = None,
     ) -> jax.Array:
         bf, h, w, c = hidden_states.shape
         b = bf // num_frames
@@ -453,7 +486,19 @@ class TransformerTemporalModel(nn.Module):
             x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, num_frames, c)
         x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
         attn_mask = None
-        if self.window is not None and self.window < num_frames:
+        attn_impl = None
+        if self.context_parallel is not None and not natural:
+            import functools
+
+            from mvoc_tpu.ops.ring_attention import ring_sdpa
+
+            assert self.cp_mesh is not None, "context_parallel needs cp_mesh"
+            attn_impl = functools.partial(
+                ring_sdpa, mesh=self.cp_mesh, axis_name="seq",
+                method=self.context_parallel,
+                window=self.window if (self.window is not None
+                                       and self.window < num_frames) else None)
+        elif self.window is not None and self.window < num_frames:
             idx = jnp.arange(num_frames)
             attn_mask = (jnp.abs(idx[:, None] - idx[None, :]) <= self.window // 2)
         for i in range(self.num_layers):
@@ -462,9 +507,11 @@ class TransformerTemporalModel(nn.Module):
                 double_self_attention=True,
                 ff_chunk_rows=self.ff_chunk_rows,
                 frame_axis=natural,
+                attn_impl=attn_impl,
                 dtype=self.dtype, name=f"transformer_blocks_{i}",
             )(x, attn1_qk_edit=attn1_qk_edit if i == 0 else None,
-              attn_mask=attn_mask)
+              attn_mask=attn_mask,
+              pab=(pab[0], pab[1], f"{pab[2]}.b{i}") if pab else None)
         x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
         if natural:
             x = x.reshape(bf, h, w, c)

@@ -68,9 +68,15 @@ class UNetConfig:
     cross_attention_dim: int = 1024
     attention_head_dim: int = 64  # heads = block_channels // this
     transformer_in_heads: int = 8
+    # transformer_in per-head dim; None = attention_head_dim.  Derived from
+    # the checkpoint's to_q shape at load time (infer_geometry_from_state_dict)
+    # so a different diffusers wiring fails loudly instead of silently.
+    transformer_in_head_dim: Optional[int] = None
     # image_latents_temporal_encoder attention geometry (diffusers
-    # I2VGenXLTransformerTemporalEncoder(dim=in_ch, heads=2, head_dim=in_ch))
+    # I2VGenXLTransformerTemporalEncoder(dim=in_ch, heads=2, head_dim=in_ch));
+    # head dim likewise shape-derived at load time when None.
     img_temporal_encoder_heads: int = 2
+    img_temporal_encoder_head_dim: Optional[int] = None
     norm_eps: float = 1e-5
     # long-video extension: band-limited temporal attention width (frames
     # attend within +-window/2); None = full attention (reference behavior)
@@ -83,6 +89,10 @@ class UNetConfig:
     # see layers.TransformerTemporalModel.natural_layout).  PnP temporal
     # edits run in the same layout via _temporal_qk_edit_natural — exact.
     temporal_natural_layout: bool = False
+    # context parallelism for temporal attention over the mesh "seq" axis:
+    # ("ring"|"ulysses", Mesh).  Exact; standard layout only (see
+    # layers.TransformerTemporalModel.context_parallel).
+    temporal_cp: Optional[Any] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -185,6 +195,7 @@ class CrossAttnDownBlock3D(nn.Module):
     ff_chunk_rows: int = 0
     temporal_window: Optional[int] = None
     temporal_natural_layout: bool = False
+    temporal_cp: Optional[Any] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -209,6 +220,8 @@ class CrossAttnDownBlock3D(nn.Module):
                 norm_num_groups=self.norm_num_groups, window=self.temporal_window,
                 ff_chunk_rows=self.ff_chunk_rows,
                 natural_layout=self.temporal_natural_layout,
+                context_parallel=self.temporal_cp[0] if self.temporal_cp else None,
+                cp_mesh=self.temporal_cp[1] if self.temporal_cp else None,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames)
             res_samples.append(x)
@@ -229,6 +242,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     ff_chunk_rows: int = 0
     temporal_window: Optional[int] = None
     temporal_natural_layout: bool = False
+    temporal_cp: Optional[Any] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -251,6 +265,8 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 norm_num_groups=self.norm_num_groups, window=self.temporal_window,
                 ff_chunk_rows=self.ff_chunk_rows,
                 natural_layout=self.temporal_natural_layout,
+                context_parallel=self.temporal_cp[0] if self.temporal_cp else None,
+                cp_mesh=self.temporal_cp[1] if self.temporal_cp else None,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames)
             x = ResnetBlock2D(
@@ -497,11 +513,13 @@ class CrossAttnUpBlock3D(nn.Module):
     ff_chunk_rows: int = 0
     temporal_window: Optional[int] = None
     temporal_natural_layout: bool = False
+    temporal_cp: Optional[Any] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, res_samples, temb, context, num_frames, upsample_size=None,
-                 pnp=None, freeu=None, capture=None):
+                 pnp=None, freeu=None, capture=None, pab_cache=None, pab_rec=None):
+        pab_on = pab_cache is not None or pab_rec is not None
         spatial_sites = pnp_lib.SPATIAL_ATTN_SITES.get(self.block_index, ())
         temporal_sites = pnp_lib.TEMPORAL_ATTN_SITES.get(self.block_index, ())
         resnet_sites = pnp_lib.RESNET_SITES.get(self.block_index, ())
@@ -529,18 +547,24 @@ class CrossAttnUpBlock3D(nn.Module):
             )(x, context,
               attn1_qk_edit=_spatial_qk_edit(
                   pnp, hcur, wcur, f"spatial_{self.block_index}_{i}", capture)
-              if i in spatial_sites else None)
+              if i in spatial_sites else None,
+              pab=(pab_cache, pab_rec, f"sp{self.block_index}_{i}")
+              if pab_on else None)
             x = TransformerTemporalModel(
                 self.out_channels, self.heads, self.dim_head,
                 norm_num_groups=self.norm_num_groups, window=self.temporal_window,
                 ff_chunk_rows=self.ff_chunk_rows,
                 natural_layout=self.temporal_natural_layout,
+                context_parallel=self.temporal_cp[0] if self.temporal_cp else None,
+                cp_mesh=self.temporal_cp[1] if self.temporal_cp else None,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames,
               attn1_qk_edit=_temporal_qk_edit(
                   pnp, hcur, wcur, f"temporal_{self.block_index}_{i}", capture,
                   natural=self.temporal_natural_layout)
-              if i in temporal_sites else None)
+              if i in temporal_sites else None,
+              pab=(pab_cache, pab_rec, f"tm{self.block_index}_{i}")
+              if pab_on else None)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x, upsample_size)
         return x
@@ -552,13 +576,15 @@ class ImageLatentsTemporalEncoder(nn.Module):
 
     dim: int
     heads: int
+    head_dim: Optional[int] = None  # None -> dim (diffusers default wiring)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         h = LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = Attention(
-            query_dim=self.dim, heads=self.heads, dim_head=self.dim,
+            query_dim=self.dim, heads=self.heads,
+            dim_head=self.head_dim or self.dim,
             dtype=self.dtype, name="attn1",
         )(h)
         x = h + x
@@ -604,7 +630,10 @@ class I2VGenXLUNet(nn.Module):
         freeu: Optional[FreeUConfig] = None,
         cached_encoder: Optional[tuple] = None,
         return_encoder: bool = False,
+        encoder_reuse_depth: Optional[int] = None,
         pnp_capture: bool = False,
+        pab_cache: Optional[dict] = None,
+        pab_capture: bool = False,
     ) -> jax.Array:
         """cached_encoder / return_encoder implement training-free encoder
         reuse (arXiv 2312.09608 'Faster Diffusion'): UNet down+mid features
@@ -612,7 +641,23 @@ class I2VGenXLUNet(nn.Module):
         a cached (mid_features, skip_stack) tuple for several steps and only
         run the up blocks — MVOC's PnP injection sites all live in the up
         blocks, so injection fidelity is unaffected.  Defaults preserve the
-        exact reference semantics."""
+        exact reference semantics.
+
+        encoder_reuse_depth = k makes the reuse PARTIAL-DEPTH: only the
+        features of down blocks k.. and the mid block are cached/reused; the
+        stem + down blocks 0..k-1 (the high-resolution skips — the bulk of
+        the cache bytes) are recomputed every step.  Cuts the cache ~4x at
+        720p (k=2) so reuse fits a 16 GB chip, at the cost of re-running the
+        cheap-to-store-but-recomputable shallow blocks.
+
+        pab_capture / pab_cache implement PAB-style attention-output
+        broadcast (arXiv 2408.12588): with pab_capture the up-block
+        attention outputs are sown into the "attn_out" collection; a later
+        step passing that dict as pab_cache SKIPS every up-block attention
+        sublayer (qkv + sdpa + out-proj, including any PnP Q/K edit) and
+        reuses the cached outputs — the residual stream, convs and FFs stay
+        fresh.  Approximate by construction; 1-interval (never cached) is
+        the exactness switch."""
         cfg = self.config
         b, f, h, w, c_in = sample.shape
         ch0 = cfg.block_out_channels[0]
@@ -674,28 +719,32 @@ class I2VGenXLUNet(nn.Module):
         ilf = nn.Conv(c_in, (3, 3), padding=1, dtype=self.dtype, name="image_latents_proj_in_4")(ilf)
         ilf = ilf.reshape(b, f, h, w, c_in).transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c_in)
         ilf = ImageLatentsTemporalEncoder(
-            dim=c_in, heads=cfg.img_temporal_encoder_heads, dtype=self.dtype,
+            dim=c_in, heads=cfg.img_temporal_encoder_heads,
+            head_dim=cfg.img_temporal_encoder_head_dim, dtype=self.dtype,
             name="image_latents_temporal_encoder",
         )(ilf)
         ilf = ilf.reshape(b, h, w, f, c_in).transpose(0, 3, 1, 2, 4).reshape(b * f, h, w, c_in)
 
         n_blocks = len(cfg.block_out_channels)
-        if cached_encoder is None:
+        depth = encoder_reuse_depth
+
+        def run_stem_and_blocks(n_run: int):
             # 5. pre-process: channel concat + conv_in + transformer_in
             x = sample.reshape(b * f, h, w, c_in).astype(self.dtype)
             x = jnp.concatenate([x, ilf], axis=-1)
             x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
             x = TransformerTemporalModel(
-                ch0, cfg.transformer_in_heads, cfg.attention_head_dim,
+                ch0, cfg.transformer_in_heads,
+                cfg.transformer_in_head_dim or cfg.attention_head_dim,
                 norm_num_groups=cfg.norm_num_groups, window=cfg.temporal_window,
                 ff_chunk_rows=cfg.ff_chunk_rows,
                 natural_layout=cfg.temporal_natural_layout,
                 dtype=self.dtype, name="transformer_in",
             )(x, f)
 
-            # 6. down blocks
+            # 6. down blocks (first n_run of them)
             res_stack = [x]
-            for i in range(n_blocks):
+            for i in range(n_run):
                 out_ch = cfg.block_out_channels[i]
                 is_final = i == n_blocks - 1
                 if not is_final:  # CrossAttnDownBlock3D
@@ -707,6 +756,7 @@ class I2VGenXLUNet(nn.Module):
                         norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                         temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
                         temporal_natural_layout=cfg.temporal_natural_layout,
+                        temporal_cp=cfg.temporal_cp,
                         dtype=self.dtype, name=f"down_blocks_{i}",
                     )(x, emb, context, f)
                 else:  # DownBlock3D
@@ -716,7 +766,17 @@ class I2VGenXLUNet(nn.Module):
                         norm_eps=cfg.norm_eps, dtype=self.dtype, name=f"down_blocks_{i}",
                     )(x, emb, f)
                 res_stack.extend(res)
+            return x, res_stack
 
+        # skip-stack entries per down block: num_layers (+1 when downsampled)
+        def _entries_before_block(k: int) -> int:
+            n = 1  # the conv_in/transformer_in entry
+            for i in range(k):
+                n += cfg.layers_per_block + (1 if i < n_blocks - 1 else 0)
+            return n
+
+        if cached_encoder is None:
+            x, res_stack = run_stem_and_blocks(n_blocks)
             # 7. mid block
             x = UNetMidBlock3DCrossAttn(
                 channels=cfg.block_out_channels[-1],
@@ -726,15 +786,28 @@ class I2VGenXLUNet(nn.Module):
                 norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                 temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
                 temporal_natural_layout=cfg.temporal_natural_layout,
+                temporal_cp=cfg.temporal_cp,
                 dtype=self.dtype, name="mid_block",
             )(x, emb, context, f)
+            if depth is not None:
+                # partial-depth cache: only the deep skips + mid go in
+                encoder_features = (x, tuple(res_stack[_entries_before_block(depth):]))
+            else:
+                encoder_features = (x, tuple(res_stack))
+        elif depth is not None:
+            # recompute the shallow blocks fresh, splice the cached deep part
+            _, res_stack = run_stem_and_blocks(depth)
+            x, deep_skips = cached_encoder
+            res_stack = res_stack + list(deep_skips)
+            encoder_features = cached_encoder
         else:
             x, res_stack = cached_encoder
             res_stack = list(res_stack)
-        encoder_features = (x, tuple(res_stack))
+            encoder_features = (x, tuple(res_stack))
 
         # 8. up blocks (3 resnets each)
         capture: Optional[dict] = {} if pnp_capture else None
+        pab_rec: Optional[dict] = {} if pab_capture else None
         rev = tuple(reversed(cfg.block_out_channels))
         n_up_layers = cfg.layers_per_block + 1
         for i in range(n_blocks):
@@ -757,8 +830,10 @@ class I2VGenXLUNet(nn.Module):
                     norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                     temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
                     temporal_natural_layout=cfg.temporal_natural_layout,
+                    temporal_cp=cfg.temporal_cp,
                     block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
-                )(x, res, emb, context, f, upsample_size, pnp, freeu, capture)
+                )(x, res, emb, context, f, upsample_size, pnp, freeu, capture,
+                  pab_cache=pab_cache, pab_rec=pab_rec)
 
         # 9. post-process (+ out-conv PnP injection, pnp_utils.py:1108-1159)
         x = GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=self.dtype, name="conv_norm_out")(x)
@@ -785,6 +860,9 @@ class I2VGenXLUNet(nn.Module):
         if capture is not None:
             for site_id, val in capture.items():
                 self.sow("pnp_features", site_id, val)
+        if pab_rec is not None:
+            for site_id, val in pab_rec.items():
+                self.sow("attn_out", site_id, val)
         out = x.reshape(b, f, h, w, cfg.out_channels)
         if return_encoder:
             return out, encoder_features

@@ -25,33 +25,54 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _band_mask(q_pos: jax.Array, k_pos: jax.Array, window: int) -> jax.Array:
+    """[Sq, Sk] boolean band mask: |q - k| <= window // 2 (the windowed
+    temporal attention of models/layers.TransformerTemporalModel)."""
+    return jnp.abs(q_pos[:, None] - k_pos[None, :]) <= window // 2
+
+
 def ring_self_attention(
     q: jax.Array,  # [B, H, S_local, D] local query shard
     k: jax.Array,  # [B, H, S_local, D] local key shard
     v: jax.Array,  # [B, H, S_local, D] local value shard
     axis_name: str,
     axis_size: int,
+    window: int | None = None,
 ) -> jax.Array:
     """Blockwise self-attention with K/V rotating around `axis_name`.
 
     Must be called inside `shard_map` with the sequence axis sharded over
     `axis_name` (axis_size shards).  Exact (online softmax in fp32), no
     [S, S] logits ever materialized beyond the local [S_loc, S_loc] block.
+    `window` applies the band-limited (windowed temporal) mask on GLOBAL
+    positions: each rotating K/V block gets its true sequence offset.
     """
     b, h, s_loc, d = q.shape
     scale = 1.0 / math.sqrt(d)
     qf = q.astype(jnp.float32) * scale
+    neg = jnp.finfo(jnp.float32).min
 
     if axis_size == 1:
         s = jnp.einsum("bhqd,bhkd->bhqk", qf, k.astype(jnp.float32))
+        if window is not None and window < s_loc:
+            pos = jnp.arange(s_loc)
+            s = jnp.where(_band_mask(pos, pos, window), s, neg)
         p = jax.nn.softmax(s, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
     perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
+    my = jax.lax.axis_index(axis_name)
+    q_pos = my * s_loc + jnp.arange(s_loc)
 
-    def step(_, carry):
+    def step(it, carry):
         m_prev, l_prev, acc, kc, vc = carry
         s = jnp.einsum("bhqd,bhkd->bhqk", qf, kc.astype(jnp.float32))
+        if window is not None:
+            # after `it` permutes this device holds the block that started
+            # on device (my - it) mod n — its global positions follow
+            src = jnp.mod(my - it, axis_size)
+            k_pos = src * s_loc + jnp.arange(s_loc)
+            s = jnp.where(_band_mask(q_pos, k_pos, window)[None, None], s, neg)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
@@ -84,6 +105,7 @@ def ulysses_self_attention(
     v: jax.Array,
     axis_name: str,
     axis_size: int,
+    window: int | None = None,
 ) -> jax.Array:
     """DeepSpeed-Ulysses style context parallelism: one all-to-all swaps the
     sharded axis from sequence to heads, full-sequence attention runs
@@ -93,7 +115,7 @@ def ulysses_self_attention(
     """
     b, h, s_loc, d = q.shape
     if axis_size == 1:
-        return ring_self_attention(q, k, v, axis_name, 1)
+        return ring_self_attention(q, k, v, axis_name, 1, window=window)
     assert h % axis_size == 0, f"heads {h} not divisible by axis {axis_size}"
 
     def gather_seq(x):  # [B, H, S_loc, D] -> [B, H/n, S_full, D]
@@ -105,6 +127,10 @@ def ulysses_self_attention(
     scale = 1.0 / math.sqrt(d)
     s = jnp.einsum("bhqd,bhkd->bhqk", qg.astype(jnp.float32) * scale,
                    kg.astype(jnp.float32))
+    if window is not None and window < s_loc * axis_size:
+        pos = jnp.arange(s_loc * axis_size)
+        s = jnp.where(_band_mask(pos, pos, window)[None, None], s,
+                      jnp.finfo(jnp.float32).min)
     p = jax.nn.softmax(s, axis=-1)
     og = jnp.einsum("bhqk,bhkd->bhqd", p, vg.astype(jnp.float32)).astype(q.dtype)
 
@@ -121,6 +147,7 @@ def ring_sdpa(
     mesh: Mesh,
     axis_name: str = "seq",
     method: str = "ring",
+    window: int | None = None,
 ) -> jax.Array:
     """Drop-in sdpa (models/layers.sdpa signature subset) running as
     context-parallel attention with the token axis S sharded over
@@ -129,6 +156,8 @@ def ring_sdpa(
     method: "ring" (K/V rotate, n-1 neighbor ppermutes) or "ulysses"
     (two all-to-alls, heads must divide the axis).  S must divide the axis
     size; B stays replicated (shard it over other axes outside if desired).
+    window: band-limited attention on global positions (long-video windowed
+    temporal attention).
     """
     shard_map = getattr(jax, "shard_map", None)
     if shard_map is None:  # pragma: no cover - older jax
@@ -147,7 +176,7 @@ def ring_sdpa(
     impl = {"ring": ring_self_attention, "ulysses": ulysses_self_attention}[method]
 
     fn = shard_map(
-        functools.partial(impl, axis_name=axis_name, axis_size=n),
+        functools.partial(impl, axis_name=axis_name, axis_size=n, window=window),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

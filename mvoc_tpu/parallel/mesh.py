@@ -35,29 +35,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
+JOB_AXIS = "job"
 
 
 def make_mesh(
     n_devices: Optional[int] = None,
     seq: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
+    job: int = 1,
 ) -> Mesh:
-    """Build a (seq, model) mesh over the available devices.
+    """Build a (job, seq, model) mesh over the available devices.
 
-    Default split: seq = min(n, 4) frames-parallel, model = rest.  Single
-    device degrades to a 1x1 mesh (all shardings become no-ops), so the same
-    code path runs on 1 real TPU chip and on the virtual 8-CPU CI mesh.
+    "job" is data parallelism over INDEPENDENT videos (the MVOC workflow
+    inverts N+1 source videos with identical schedules — reference loops
+    them serially, inverse.py:136; here each job slice owns one video).
+    Default job=1 reduces to the (seq, model) intra-step mesh.
+
+    Default split: seq = min(n/job, 4) frames-parallel, model = rest.
+    Single device degrades to a 1x1x1 mesh (all shardings become no-ops), so
+    the same code path runs on 1 real TPU chip and the virtual 8-CPU CI mesh.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
     devices = devices[:n]
+    assert n % job == 0, f"job axis {job} must divide device count {n}"
+    per_job = n // job
     if seq is None:
-        seq = min(n, 4)
-        while n % seq != 0:
+        seq = min(per_job, 4)
+        while per_job % seq != 0:
             seq //= 2
-    model = n // seq
-    arr = np.asarray(devices).reshape(seq, model)
-    return Mesh(arr, (SEQ_AXIS, MODEL_AXIS))
+    model = per_job // seq
+    arr = np.asarray(devices).reshape(job, seq, model)
+    return Mesh(arr, (JOB_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -111,3 +120,17 @@ def shard_video(x: jax.Array, mesh: Mesh, frame_axis: int = 1) -> jax.Array:
     if x.shape[frame_axis] % mesh.shape[SEQ_AXIS] != 0:
         return jax.device_put(x, replicated(mesh))
     return jax.device_put(x, video_sharding(mesh, frame_axis, x.ndim))
+
+
+def shard_stacked_video(
+    x: jax.Array, mesh: Mesh, job_axis: int = 0, frame_axis: int = 1
+) -> jax.Array:
+    """Shard a stack of per-video tensors [J, F, h, w, C]: the video axis
+    over "job" (independent-video data parallelism) and the frame axis over
+    "seq".  Axes that don't divide evenly stay replicated."""
+    spec = [None] * x.ndim
+    if mesh.shape[JOB_AXIS] > 1 and x.shape[job_axis] % mesh.shape[JOB_AXIS] == 0:
+        spec[job_axis] = JOB_AXIS
+    if x.shape[frame_axis] % mesh.shape[SEQ_AXIS] == 0:
+        spec[frame_axis] = SEQ_AXIS
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))

@@ -129,6 +129,69 @@ def ddim_inversion_core(
     return trajectory
 
 
+def ddim_inversion_batch_core(
+    unet_apply: Callable,
+    ddim: DDIM,
+    unet_params,
+    x0_latents: jax.Array,            # [J, F, h, w, C] — J independent videos
+    cond: UNetConditioning,           # leading axis J (one conditioning per video)
+    timesteps: jax.Array,             # [S] ascending inversion timesteps
+    num_inference_steps: int,
+    encoder_reuse_interval: int = 1,
+    init_encoder_cache=None,
+) -> jax.Array:
+    """Invert J independent videos in ONE scan, J = the UNet batch axis.
+
+    The reference loops source videos serially on one GPU (inverse.py:136);
+    here they ride the batch axis — on one chip this batches the MXU work,
+    and under a (job, seq, model) mesh the J axis shards over "job" so each
+    mesh slice owns one video (pure DP: zero cross-video communication).
+    Inversion runs at cfg == 1 (group_inversion/template.yaml:32), so each
+    video contributes exactly one UNet branch.  Returns [S, J, F, h, w, C].
+    """
+    reuse = encoder_reuse_interval > 1
+
+    def body(carry, xs):
+        if reuse:
+            latents, cache = carry
+            i, t = xs
+        else:
+            latents = carry
+            t = xs
+        kwargs = dict(
+            sample=latents,
+            timestep=t,
+            fps=cond.fps,
+            image_latents_first=cond.image_latents_first,
+            image_latents=cond.image_latents,
+            image_embeddings=cond.image_embeddings,
+            encoder_hidden_states=cond.encoder_hidden_states,
+        )
+        if reuse:
+            fresh = (i % encoder_reuse_interval) == 0
+            eps, cache = jax.lax.cond(
+                fresh,
+                lambda c: unet_apply(unet_params, **kwargs, return_encoder=True),
+                lambda c: (unet_apply(unet_params, **kwargs, cached_encoder=c), c),
+                cache,
+            )
+        else:
+            eps = unet_apply(unet_params, **kwargs)
+        nxt = ddim.inverse_step(eps, t, latents, num_inference_steps)
+        if reuse:
+            return (nxt, cache), nxt
+        return nxt, nxt
+
+    if reuse:
+        assert init_encoder_cache is not None, "encoder reuse needs a zero cache"
+        n = timesteps.shape[0]
+        (_, _), trajectory = jax.lax.scan(
+            body, (x0_latents, init_encoder_cache), (jnp.arange(n), timesteps))
+        return trajectory
+    _, trajectory = jax.lax.scan(body, x0_latents, timesteps)
+    return trajectory
+
+
 # ---------------------------------------------------------------------------
 # Plain sampling (reconstruction / image-to-video)
 # ---------------------------------------------------------------------------
@@ -233,6 +296,8 @@ def pnp_composite_core(
     init_encoder_cache=None,
     two_pass=False,
     capture_weights=None,
+    pab_interval: int = 1,
+    init_attn_cache=None,
 ) -> jax.Array:
     """The MVOC composite sampler as one scan (reference:
     pipeline_i2vgen_xl.py:1635-1734 + pnp_utils injection sites).
@@ -270,6 +335,15 @@ def pnp_composite_core(
     stream = two_pass == "stream"
     if stream:
         assert capture_weights is not None, "stream capture needs capture_weights"
+    pab = pab_interval > 1
+    if pab:
+        # PAB attention-output broadcast (arXiv 2408.12588): up-block
+        # attention outputs recomputed every pab_interval-th step and
+        # broadcast in between (see I2VGenXLUNet pab_capture/pab_cache).
+        # Fused execution only; not composed with the other caches.
+        assert not (two_pass or stream or reuse), (
+            "pab_interval composes with the fused path only")
+        assert init_attn_cache is not None, "pab needs a zero attn cache"
 
     def _slice_cond(c, lo, hi):
         return UNetConditioning(
@@ -281,7 +355,7 @@ def pnp_composite_core(
         )
 
     def body(carry, xs):
-        if reuse:
+        if reuse or pab:
             latents, cache = carry
             (i, t, bg_lat, obj_lat, g_sp, g_tmp, g_conv, fuse) = xs
         else:
@@ -526,6 +600,21 @@ def pnp_composite_core(
                 return eps, cache_in
 
             eps, cache = jax.lax.cond(fresh, run_fresh, run_cached, cache)
+        elif pab:
+            fresh = (i % pab_interval) == 0
+
+            def pab_fresh(cache_in):
+                eps, variables = unet_apply(
+                    unet_params, **kwargs, pab_capture=True,
+                    mutable=["attn_out"])
+                new_cache = {k: v[0] for k, v in variables["attn_out"].items()}
+                return eps, new_cache
+
+            def pab_cached(cache_in):
+                eps = unet_apply(unet_params, **kwargs, pab_cache=cache_in)
+                return eps, cache_in
+
+            eps, cache = jax.lax.cond(fresh, pab_fresh, pab_cached, cache)
         else:
             eps = unet_apply(unet_params, **kwargs)
 
@@ -533,7 +622,7 @@ def pnp_composite_core(
         eps_neg, eps_pos = eps[n_obj + 1], eps[n_obj + 2]
         eps_g = eps_neg + guidance_scale * (eps_pos - eps_neg)
         nxt = ddim.step(eps_g, t, latents, num_inference_steps)
-        if reuse:
+        if reuse or pab:
             return (nxt, cache), None
         return nxt, None
 
@@ -546,11 +635,13 @@ def pnp_composite_core(
         sched.gate_conv,
         sched.fusion_mask,
     )
-    if reuse:
-        assert init_encoder_cache is not None, "encoder reuse needs a zero cache"
+    if reuse or pab:
+        assert (init_encoder_cache if reuse else init_attn_cache) is not None, (
+            "caching needs a zero cache")
         n_run = sched.timesteps.shape[0]
         xs = (jnp.arange(n_run),) + xs
-        (final, _), _ = jax.lax.scan(body, (init_latents, init_encoder_cache), xs)
+        cache0 = init_encoder_cache if reuse else init_attn_cache
+        (final, _), _ = jax.lax.scan(body, (init_latents, cache0), xs)
         return final
     final, _ = jax.lax.scan(body, init_latents, xs)
     return final

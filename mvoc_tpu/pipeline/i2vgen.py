@@ -75,8 +75,66 @@ class I2VGenXLPipeline:
         self.vae_scaling = vae.config.scaling_factor
         self.clip_image_size = image_encoder.config.image_size
         self.freeu = None  # set via enable_freeu
+        self.mesh = None   # set via enable_mesh
+        self.vae_tiling = None  # set via enable_vae_tiling
 
         self._build_jits()
+
+    # ------------------------------------------------------------------
+    # multi-chip mesh (TPU-native; no counterpart in the single-GPU
+    # reference — SURVEY.md §2.4)
+    # ------------------------------------------------------------------
+
+    def enable_mesh(self, n_devices: Optional[int] = None,
+                    seq: Optional[int] = None, devices=None,
+                    job: int = 1) -> "I2VGenXLPipeline":
+        """Shard the pipeline over a (job, seq, model) device mesh.
+
+        "job" = data parallelism over independent videos (invert_batch),
+        "seq" = frame-axis context parallelism (temporal attention), "model"
+        = Megatron-style tensor parallelism over attention/MLP channels (see
+        parallel/mesh.py).  Params are placed with TP shardings; every video
+        tensor entering the compiled cores is sharded on its frame axis.
+        Degrades to a no-op 1x1x1 mesh on a single device, so the same code
+        path runs on 1 real chip and the virtual 8-device CPU CI mesh."""
+        from mvoc_tpu.parallel import mesh as pm
+
+        mesh = pm.make_mesh(n_devices, seq=seq, devices=devices, job=job)
+        self.mesh = mesh
+        self.params = dict(self.params)
+        self.params["unet"] = pm.shard_params(self.params["unet"], mesh)
+        for k in ("vae", "text_encoder", "image_encoder"):
+            if k in self.params:
+                self.params[k] = jax.device_put(self.params[k], pm.replicated(mesh))
+        logger.info("mesh enabled: %s", dict(mesh.shape))
+        return self
+
+    def disable_mesh(self) -> "I2VGenXLPipeline":
+        if self.mesh is not None:
+            dev = jax.devices()[0]
+            self.params = jax.device_put(self.params, dev)
+            self.mesh = None
+        return self
+
+    def _shard_video(self, x: jax.Array, frame_axis: int = 0) -> jax.Array:
+        """Place a video tensor's frame axis over the mesh "seq" axis
+        (no-op without a mesh or when frames don't divide)."""
+        if self.mesh is None:
+            return x
+        from mvoc_tpu.parallel import mesh as pm
+
+        return pm.shard_video(jnp.asarray(x), self.mesh, frame_axis=frame_axis)
+
+    def _shard_cond(self, cond: core.UNetConditioning) -> core.UNetConditioning:
+        if self.mesh is None:
+            return cond
+        import dataclasses
+
+        return dataclasses.replace(
+            cond,
+            image_latents_first=self._shard_video(cond.image_latents_first, 1),
+            image_latents=self._shard_video(cond.image_latents, 1),
+        )
 
     def enable_freeu(self, s1: float, s2: float, b1: float, b2: float) -> None:
         """FreeU up-block re-weighting (reference passthrough:
@@ -173,16 +231,36 @@ class I2VGenXLPipeline:
         px = normalize_clip_image(jnp.asarray(px, dtype=self.dtype))
         return self._vision_apply(self.params["image_encoder"], px)
 
-    def encode_frames(self, frames: Sequence[Image.Image], width: int) -> jax.Array:
+    def encode_frames(
+        self,
+        frames: Sequence[Image.Image],
+        width: int,
+        strict_reference_crop: bool = True,
+    ) -> jax.Array:
         """Per-frame CLIP embeddings [F, D_img] (the composite sampler embeds
-        every control frame — reference: pipeline_i2vgen_xl.py:1416-1427)."""
-        crops = [
-            media.resize_bilinear(
-                media.center_crop_wide(f, (width, width)),
-                (self.clip_image_size, self.clip_image_size),
-            )
-            for f in frames
-        ]
+        every control frame — reference: pipeline_i2vgen_xl.py:1416-1427).
+
+        Quirk, replicated by default: the reference computes a center crop
+        and then DISCARDS it, bilinear-resizing the UNCROPPED frame into the
+        CLIP input (`_resize_bilinear(image, ...)` right after computing
+        `cropped_image` — pipeline_i2vgen_xl.py:1505-1508, 1420-1423,
+        455-458).  This affects every control-frame embedding in the
+        composite stage.  strict_reference_crop=False resizes the crop
+        instead (the presumably-intended behavior, matching the single-frame
+        path at :1116-1118)."""
+        if strict_reference_crop:
+            crops = [
+                media.resize_bilinear(f, (self.clip_image_size, self.clip_image_size))
+                for f in frames
+            ]
+        else:
+            crops = [
+                media.resize_bilinear(
+                    media.center_crop_wide(f, (width, width)),
+                    (self.clip_image_size, self.clip_image_size),
+                )
+                for f in frames
+            ]
         px = normalize_clip_image(jnp.asarray(media.pil_to_01(crops), dtype=self.dtype))
         return self._vision_apply(self.params["image_encoder"], px)
 
@@ -203,6 +281,7 @@ class I2VGenXLPipeline:
         key is None)."""
         resized = [media.center_crop_wide(f, (width, height)) for f in frames]
         px = jnp.asarray(media.pil_to_neg1_1(resized), dtype=self.dtype)
+        px = self._shard_video(px, 0)  # frame-axis DP over the mesh
         mean, logvar = self._vae_encode(self.params["vae"], px)
         z = sample_latents(mean, logvar, key) if key is not None else mean
         return z * self.vae_scaling
@@ -220,17 +299,40 @@ class I2VGenXLPipeline:
         z = self.encode_vae_video([image], height, width, key=key)[0]
         return core.prepare_image_latents(z, num_frames)
 
+    def enable_vae_tiling(self, tile_latent: int = 64, overlap_latent: int = 8) -> None:
+        """Route decode through spatially tiled decoding with seam blending
+        (reference parity: enable_vae_tiling, pipeline_i2vgen_xl.py:520-550)."""
+        self.vae_tiling = (tile_latent, overlap_latent)
+
+    def disable_vae_tiling(self) -> None:
+        self.vae_tiling = None
+
     def decode_latents(self, latents: jax.Array, decode_chunk_size: Optional[int] = None) -> np.ndarray:
-        """latents [F, h, w, C] (scaled) -> video [F, H, W, 3] float in [0,1]."""
-        z = latents / self.vae_scaling
+        """latents [F, h, w, C] (scaled) -> video [F, H, W, 3] float in [0,1].
+
+        decode_chunk_size bounds the frame batch per VAE call (the reference
+        decodes chunk=1 to survive memory — pipeline_i2vgen_xl.py:771-791);
+        enable_vae_tiling additionally bounds the spatial footprint."""
+        z = self._shard_video(latents / self.vae_scaling, 0)
+        tiling = getattr(self, "vae_tiling", None)
+
+        def dec(zz):
+            if tiling is not None:
+                from mvoc_tpu.models.vae import tiled_decode
+
+                return tiled_decode(
+                    lambda t: self._vae_decode(self.params["vae"], t), zz,
+                    tile_latent=tiling[0], overlap_latent=tiling[1])
+            return self._vae_decode(self.params["vae"], zz)
+
         if decode_chunk_size:
             frames = [
-                self._vae_decode(self.params["vae"], z[i : i + decode_chunk_size])
+                dec(z[i : i + decode_chunk_size])
                 for i in range(0, z.shape[0], decode_chunk_size)
             ]
             img = jnp.concatenate(frames, axis=0)
         else:
-            img = self._vae_decode(self.params["vae"], z)
+            img = dec(z)
         img = (img.astype(jnp.float32) / 2 + 0.5).clip(0.0, 1.0)
         return np.asarray(img)
 
@@ -289,11 +391,17 @@ class I2VGenXLPipeline:
         negative_prompt_embeds: Optional[jax.Array] = None,
         latents: Optional[jax.Array] = None,
         encoder_reuse_interval: int = 1,
+        encoder_reuse_depth: Optional[int] = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """DDIM-invert a video. Returns (timesteps ascending, trajectory
         [S, F, h, w, C]); writes the trajectory store when output_dir given.
-        encoder_reuse_interval > 1 enables training-free encoder reuse."""
-        self.check_inputs(height, width, num_frames)
+        encoder_reuse_interval > 1 enables training-free encoder reuse;
+        encoder_reuse_depth = k caches only down blocks k.. + mid (partial
+        depth — ~4x smaller cache, fits 720p)."""
+        self.check_inputs(height, width, num_frames, prompt=prompt,
+                          prompt_embeds=prompt_embeds,
+                          negative_prompt=negative_prompt,
+                          negative_prompt_embeds=negative_prompt_embeds)
         key = jax.random.key(seed)
         first_frame = first_frame or frames[0]
         do_cfg = guidance_scale > 1.0
@@ -316,26 +424,29 @@ class I2VGenXLPipeline:
         img_lat = self.encode_first_frame_latents(first_frame, height, width, num_frames, key=k_img)
         img_lat = jnp.broadcast_to(img_lat[None], (2 if do_cfg else 1,) + img_lat.shape)
 
-        cond = self._stack_cond(text, img_lat, img_lat, img_emb, target_fps)
+        cond = self._shard_cond(self._stack_cond(text, img_lat, img_lat, img_emb, target_fps))
+        latents = self._shard_video(latents.astype(jnp.float32), 0)
 
         ts = inversion_timesteps(self.scheduler_config, num_inference_steps)
         if encoder_reuse_interval > 1:
             lat_h, lat_w = latents.shape[1], latents.shape[2]
             init_cache = self._encoder_cache_zeros(
-                cond.encoder_hidden_states.shape[0], num_frames, lat_h, lat_w)
+                cond.encoder_hidden_states.shape[0], num_frames, lat_h, lat_w,
+                depth=encoder_reuse_depth)
+            ua = self._reuse_unet_apply(encoder_reuse_depth)
             invert_fn = jax.jit(
                 lambda p, x0, c, t: core.ddim_inversion_core(
-                    self._unet_apply, self.ddim, p, x0, c, t,
+                    ua, self.ddim, p, x0, c, t,
                     num_inference_steps, float(guidance_scale),
                     encoder_reuse_interval=int(encoder_reuse_interval),
                     init_encoder_cache=init_cache,
                 )
             )
             trajectory = invert_fn(
-                self.params["unet"], latents.astype(jnp.float32), cond, jnp.asarray(ts))
+                self.params["unet"], latents, cond, jnp.asarray(ts))
         else:
             trajectory = self._invert_core(
-                self.params["unet"], latents.astype(jnp.float32), cond,
+                self.params["unet"], latents, cond,
                 jnp.asarray(ts), num_inference_steps, float(guidance_scale),
             )
         trajectory = np.asarray(trajectory)
@@ -348,6 +459,91 @@ class I2VGenXLPipeline:
             )
             TrajectoryStore(output_dir).save(ts, trajectory, meta=meta)
             logger.info("saved trajectory (%d steps) to %s", len(ts), output_dir)
+        return ts, trajectory
+
+    def invert_batch(
+        self,
+        videos: Sequence[Sequence[Image.Image]],
+        first_frames: Optional[Sequence[Optional[Image.Image]]] = None,
+        prompt: str = "",
+        height: int = 720,
+        width: int = 1280,
+        target_fps: int = 8,
+        num_frames: int = 16,
+        num_inference_steps: int = 500,
+        clip_skip: int = 1,
+        seed: int = 8888,
+        output_dirs: Optional[Sequence[Optional[str]]] = None,
+        encoder_reuse_interval: int = 1,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """DDIM-invert J independent videos in ONE scan (J = UNet batch
+        axis; shards over the mesh "job" axis when enabled).  The reference
+        loops videos serially (reference: inverse.py:136); inversion runs at
+        cfg == 1 (group_inversion/template.yaml:32) so each video is one
+        branch.  Returns (timesteps ascending, trajectory [S, J, F, h, w, C])
+        and writes one trajectory store per video when output_dirs given."""
+        self.check_inputs(height, width, num_frames)
+        J = len(videos)
+        first_frames = list(first_frames or [None] * J)
+        key = jax.random.key(seed)
+        keys = jax.random.split(key, 2 * J)
+
+        x0s, img_embs, img_lats = [], [], []
+        for j, frames in enumerate(videos):
+            ff = first_frames[j] or frames[0]
+            x0s.append(self.encode_vae_video(frames, height, width, key=keys[2 * j]))
+            emb = self.encode_image(ff, width)  # [1, D]
+            img_embs.append(jnp.broadcast_to(
+                emb, (num_frames, emb.shape[-1])))
+            img_lats.append(self.encode_first_frame_latents(
+                ff, height, width, num_frames, key=keys[2 * j + 1]))
+        x0 = jnp.stack(x0s).astype(jnp.float32)            # [J, F, h, w, C]
+        img_emb = jnp.stack(img_embs)                      # [J, F, D]
+        img_lat = jnp.stack(img_lats)                      # [J, F, h, w, C]
+
+        pe, _ = self.encode_prompt(prompt, do_cfg=False, clip_skip=clip_skip)
+        text = jnp.broadcast_to(pe, (J,) + pe.shape[1:])
+
+        cond = self._stack_cond(text, img_lat, img_lat, img_emb, target_fps)
+        if self.mesh is not None:
+            import dataclasses
+            from mvoc_tpu.parallel import mesh as pm
+
+            sv = lambda t: pm.shard_stacked_video(t, self.mesh)
+            x0 = sv(x0)
+            cond = dataclasses.replace(
+                cond,
+                image_latents_first=sv(cond.image_latents_first),
+                image_latents=sv(cond.image_latents),
+            )
+
+        ts = inversion_timesteps(self.scheduler_config, num_inference_steps)
+        kwargs = {}
+        if encoder_reuse_interval > 1:
+            kwargs = dict(
+                encoder_reuse_interval=int(encoder_reuse_interval),
+                init_encoder_cache=self._encoder_cache_zeros(
+                    J, num_frames, x0.shape[2], x0.shape[3]),
+            )
+        batch_fn = jax.jit(
+            lambda p, x, c, t: core.ddim_inversion_batch_core(
+                self._unet_apply, self.ddim, p, x, c, t,
+                num_inference_steps, **kwargs))
+        trajectory = np.asarray(batch_fn(
+            self.params["unet"], x0, cond, jnp.asarray(ts)))
+
+        if output_dirs is not None:
+            for j, out_dir in enumerate(output_dirs):
+                if out_dir is None:
+                    continue
+                meta = dict(
+                    n_steps=num_inference_steps, guidance_scale=1.0,
+                    num_frames=num_frames, height=height, width=width,
+                    prompt=prompt, seed=seed, target_fps=target_fps,
+                    encoder_reuse_interval=encoder_reuse_interval,
+                )
+                TrajectoryStore(out_dir).save(ts, trajectory[:, j], meta=meta)
+                logger.info("saved trajectory (%d steps) to %s", len(ts), out_dir)
         return ts, trajectory
 
     # ------------------------------------------------------------------
@@ -370,12 +566,16 @@ class I2VGenXLPipeline:
         latents: Optional[jax.Array] = None,
         seed: int = 6,
         decode: bool = True,
+        decode_chunk_size: Optional[int] = 1,
         prompt_embeds: Optional[jax.Array] = None,
         negative_prompt_embeds: Optional[jax.Array] = None,
     ):
         """Image-to-video sampling; with `latents` + t_idx it is the
         reference's DDIM reconstruction path (inverse.py:79-108)."""
-        self.check_inputs(height, width, num_frames)
+        self.check_inputs(height, width, num_frames, prompt=prompt,
+                          prompt_embeds=prompt_embeds,
+                          negative_prompt=negative_prompt,
+                          negative_prompt_embeds=negative_prompt_embeds)
         key = jax.random.key(seed)
         do_cfg = guidance_scale > 1.0
         k_lat, k_img = jax.random.split(key)
@@ -396,17 +596,18 @@ class I2VGenXLPipeline:
         img_lat = self.encode_first_frame_latents(image, height, width, num_frames, key=k_img)
         img_lat = jnp.broadcast_to(img_lat[None], (2 if do_cfg else 1,) + img_lat.shape)
 
-        cond = self._stack_cond(text, img_lat, img_lat, img_emb, target_fps)
+        cond = self._shard_cond(self._stack_cond(text, img_lat, img_lat, img_emb, target_fps))
 
         ts = sampling_timesteps(self.scheduler_config, num_inference_steps)
         run_ts = ts[ddim_init_latents_t_idx:]
         final = self._sample_core(
-            self.params["unet"], jnp.asarray(latents, dtype=jnp.float32), cond,
+            self.params["unet"],
+            self._shard_video(jnp.asarray(latents, dtype=jnp.float32), 0), cond,
             jnp.asarray(run_ts), num_inference_steps, float(guidance_scale),
         )
         if not decode:
             return final
-        return self.decode_latents(final, decode_chunk_size=None)
+        return self.decode_latents(final, decode_chunk_size=decode_chunk_size)
 
     def generate_background(
         self,
@@ -433,15 +634,42 @@ class I2VGenXLPipeline:
             guidance_scale=guidance_scale, seed=seed,
         )
 
-    def check_inputs(self, height: int, width: int, num_frames: int) -> None:
+    def check_inputs(
+        self,
+        height: int,
+        width: int,
+        num_frames: int,
+        prompt=None,
+        prompt_embeds=None,
+        negative_prompt=None,
+        negative_prompt_embeds=None,
+    ) -> None:
         """Input validation (reference: check_inputs,
-        pipeline_i2vgen_xl.py:811-858)."""
+        pipeline_i2vgen_xl.py:811-858): size divisibility plus the
+        prompt/embeds combination rules."""
         f = self.vae_scale_factor
         if height % f != 0 or width % f != 0:
             raise ValueError(
                 f"height/width must be divisible by {f}, got {height}x{width}")
         if num_frames < 2:
             raise ValueError("num_frames must be >= 2 (temporal model)")
+        if prompt is not None and not isinstance(prompt, (str, list, tuple)):
+            raise ValueError(f"prompt must be str or list, got {type(prompt)}")
+        if prompt_embeds is not None and prompt not in (None, ""):
+            raise ValueError(
+                "cannot forward both `prompt` and `prompt_embeds` — provide "
+                "one (reference check_inputs, pipeline_i2vgen_xl.py:828-838)")
+        if (negative_prompt_embeds is not None
+                and negative_prompt not in (None, "")):
+            raise ValueError(
+                "cannot forward both `negative_prompt` and "
+                "`negative_prompt_embeds` — provide one")
+        if (prompt_embeds is not None and negative_prompt_embeds is not None
+                and prompt_embeds.shape != negative_prompt_embeds.shape):
+            raise ValueError(
+                f"`prompt_embeds` {prompt_embeds.shape} and "
+                f"`negative_prompt_embeds` {negative_prompt_embeds.shape} "
+                "must have the same shape")
 
     # ------------------------------------------------------------------
     # entry point B: PnP composite sampling
@@ -473,13 +701,17 @@ class I2VGenXLPipeline:
         obj_random_noise_fusion: bool = False,
         random_noise_ratio: float = 0.0,
         inject_background: bool = True,
+        strict_reference_crop: bool = True,
         encoder_reuse_interval: int = 1,
+        encoder_reuse_depth: Optional[int] = None,
+        pab_interval: int = 1,
         two_pass: bool | str = False,  # False | True | "stream"
         pnp_f_t: float = 0.8,
         pnp_spatial_attn_t: float = 0.8,
         pnp_temp_attn_t: float = 0.8,
         seed: int = 6,
         decode: bool = True,
+        decode_chunk_size: Optional[int] = 1,
         prompt_embeds: Optional[jax.Array] = None,
         negative_prompt_embeds: Optional[jax.Array] = None,
         ddim_inv_prompt_embeds: Optional[jax.Array] = None,
@@ -487,7 +719,10 @@ class I2VGenXLPipeline:
         """The MVOC composite sampler (reference:
         sample_with_pnp_pipeline_with_edit_prompt_extraction_with_attn_injection,
         pipeline_i2vgen_xl.py:1220-1748 + composite.py:38-69 init_pnp)."""
-        self.check_inputs(height, width, num_frames)
+        self.check_inputs(height, width, num_frames, prompt=prompt,
+                          prompt_embeds=prompt_embeds,
+                          negative_prompt=negative_prompt,
+                          negative_prompt_embeds=negative_prompt_embeds)
         n_obj = len(obj_stores)
         assert masks_soft.shape[0] == n_obj
         assert len(obj_stores) == masks_binary.shape[0], (
@@ -531,10 +766,15 @@ class I2VGenXLPipeline:
         main_cl = ctx_lat(main_first_image, k_enc[1 + n_obj])
         ctx_lats = jnp.stack([bg_cl, *obj_cls, main_cl, main_cl])
 
-        # --- per-frame CLIP image embeddings per branch (reference :1501-1541)
-        bg_emb = self.encode_frames(background_image_list, width)      # [F, D]
-        obj_embs = [self.encode_frames(o, width) for o in objs_image_list]
-        main_emb = self.encode_frames(main_image_list, width)
+        # --- per-frame CLIP image embeddings per branch (reference :1501-1541;
+        # strict_reference_crop replicates the discarded-crop quirk)
+        sc = strict_reference_crop
+        bg_emb = self.encode_frames(background_image_list, width,
+                                    strict_reference_crop=sc)           # [F, D]
+        obj_embs = [self.encode_frames(o, width, strict_reference_crop=sc)
+                    for o in objs_image_list]
+        main_emb = self.encode_frames(main_image_list, width,
+                                      strict_reference_crop=sc)
         # main branch: uncond gets ZERO image embedding (CFG), cond the real one
         img_embs = jnp.stack([bg_emb, *obj_embs, jnp.zeros_like(main_emb), main_emb])
 
@@ -576,17 +816,20 @@ class I2VGenXLPipeline:
         }
 
         sched = core.CompositeSchedule(
-            bg_traj=jnp.asarray(bg_traj, dtype=jnp.float32),
-            obj_traj=jnp.asarray(obj_traj, dtype=jnp.float32),
-            obj_fusion_lat=jnp.asarray(obj_fusion_lat, dtype=jnp.float32),
+            bg_traj=self._shard_video(jnp.asarray(bg_traj, dtype=jnp.float32), 1),
+            obj_traj=self._shard_video(jnp.asarray(obj_traj, dtype=jnp.float32), 2),
+            obj_fusion_lat=self._shard_video(
+                jnp.asarray(obj_fusion_lat, dtype=jnp.float32), 1),
             gate_spatial=jnp.asarray(gates["spatial"]),
             gate_temporal=jnp.asarray(gates["temporal"]),
             gate_conv=jnp.asarray(gates["conv"]),
             fusion_mask=jnp.asarray(fusion_mask),
             timesteps=jnp.asarray(run_ts),
         )
+        cond = self._shard_cond(cond)
 
-        init_latents = self.prepare_latents(num_frames, height, width, k_lat)
+        init_latents = self._shard_video(
+            self.prepare_latents(num_frames, height, width, k_lat), 0)
 
         stream = two_pass == "stream"
         capture_weights = None
@@ -598,28 +841,38 @@ class I2VGenXLPipeline:
         if encoder_reuse_interval > 1:
             h_l = height // self.vae_scale_factor
             w_l = width // self.vae_scale_factor
+            dep = encoder_reuse_depth
             if stream:
                 # per-source-branch batch-1 caches stacked [N+1, ...]
-                one = self._encoder_cache_zeros(1, num_frames, h_l, w_l)
+                one = self._encoder_cache_zeros(1, num_frames, h_l, w_l, depth=dep)
                 init_cache = (
                     jax.tree.map(
                         lambda x: jnp.broadcast_to(
                             x[None], (n_obj + 1,) + x.shape), one),
-                    self._encoder_cache_zeros(2, num_frames, h_l, w_l),
+                    self._encoder_cache_zeros(2, num_frames, h_l, w_l, depth=dep),
                 )
             elif two_pass:
                 # separate source-pass / edit-pass caches (see core.py)
                 init_cache = (
-                    self._encoder_cache_zeros(n_obj + 1, num_frames, h_l, w_l),
-                    self._encoder_cache_zeros(2, num_frames, h_l, w_l),
+                    self._encoder_cache_zeros(n_obj + 1, num_frames, h_l, w_l, depth=dep),
+                    self._encoder_cache_zeros(2, num_frames, h_l, w_l, depth=dep),
                 )
             else:
                 init_cache = self._encoder_cache_zeros(
-                    n_obj + 3, num_frames, h_l, w_l)
+                    n_obj + 3, num_frames, h_l, w_l, depth=dep)
 
+        init_attn_cache = None
+        if pab_interval > 1:
+            h_l = height // self.vae_scale_factor
+            w_l = width // self.vae_scale_factor
+            init_attn_cache = self._attn_cache_zeros(
+                n_obj + 3, num_frames, h_l, w_l)
+
+        reuse_ua = self._reuse_unet_apply(
+            encoder_reuse_depth if encoder_reuse_interval > 1 else None)
         composite_fn = jax.jit(
             lambda p, lat, c, s, ms: core.pnp_composite_core(
-                self._unet_apply, self.ddim, p, lat, c, s, ms,
+                reuse_ua, self.ddim, p, lat, c, s, ms,
                 pyr_bin, pyr_soft,
                 num_inference_steps=num_inference_steps,
                 guidance_scale=float(guidance_scale),
@@ -630,6 +883,8 @@ class I2VGenXLPipeline:
                 init_encoder_cache=init_cache,
                 two_pass=two_pass,
                 capture_weights=capture_weights,
+                pab_interval=int(pab_interval),
+                init_attn_cache=init_attn_cache,
             )
         )
         final = composite_fn(
@@ -638,12 +893,14 @@ class I2VGenXLPipeline:
         )
         if not decode:
             return final
-        return self.decode_latents(final, decode_chunk_size=None)
+        return self.decode_latents(final, decode_chunk_size=decode_chunk_size)
 
     def _encoder_cache_zeros(self, n_branches: int, num_frames: int,
-                             h_lat: int, w_lat: int):
+                             h_lat: int, w_lat: int,
+                             depth: Optional[int] = None):
         """Zero pytree matching the UNet's encoder-feature structure, used
-        as the scan-carry seed for encoder reuse (step 0 always recomputes)."""
+        as the scan-carry seed for encoder reuse (step 0 always recomputes).
+        depth=k builds the PARTIAL-DEPTH cache (deep skips + mid only)."""
         d = self.unet.config.cross_attention_dim
 
         def fn():
@@ -656,9 +913,42 @@ class I2VGenXLPipeline:
                 image_latents_first=z, image_latents=z,
                 image_embeddings=jnp.zeros((n_branches, num_frames, d), self.dtype),
                 encoder_hidden_states=jnp.zeros((n_branches, 77, d), self.dtype),
-                return_encoder=True,
+                return_encoder=True, encoder_reuse_depth=depth,
             )
             return cache
+
+        shapes = jax.eval_shape(fn)
+        return jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes)
+
+    def _reuse_unet_apply(self, depth: Optional[int]):
+        """unet_apply with the partial-depth reuse bound (no-op when
+        depth is None — encoder_reuse_depth only acts on the cache paths)."""
+        if not depth:
+            return self._unet_apply
+        d_ = int(depth)
+        return lambda p, **kw: self.unet.apply(
+            p, **kw, freeu=self.freeu, encoder_reuse_depth=d_)
+
+    def _attn_cache_zeros(self, n_branches: int, num_frames: int,
+                          h_lat: int, w_lat: int):
+        """Zero pytree matching the up-block attention-output structure
+        ("attn_out" collection) — the scan-carry seed for PAB broadcast
+        (step 0 always recomputes)."""
+        d = self.unet.config.cross_attention_dim
+
+        def fn():
+            z = jnp.zeros((n_branches, num_frames, h_lat, w_lat,
+                           self.unet.config.in_channels), self.dtype)
+            _, variables = self.unet.apply(
+                self.params["unet"],
+                sample=z, timestep=jnp.zeros((), jnp.int32),
+                fps=jnp.zeros((), jnp.int32),
+                image_latents_first=z, image_latents=z,
+                image_embeddings=jnp.zeros((n_branches, num_frames, d), self.dtype),
+                encoder_hidden_states=jnp.zeros((n_branches, 77, d), self.dtype),
+                pab_capture=True, mutable=["attn_out"],
+            )
+            return {k: v[0] for k, v in variables["attn_out"].items()}
 
         shapes = jax.eval_shape(fn)
         return jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes)

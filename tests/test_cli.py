@@ -175,3 +175,49 @@ def test_cli_inverse_then_composite(demo, tmp_path, monkeypatch):
     assert frames
     arr = np.asarray(Image.open(frames[0]))
     assert arr.shape == (HW, HW, 3)
+
+
+def test_cli_inverse_with_mesh(demo, tmp_path, monkeypatch):
+    """--mesh N routes through common.apply_mesh -> pipe.enable_mesh: the
+    inversion driver runs sharded over the virtual 8-device mesh (seq=2
+    matches the 2-frame tiny video) and writes a valid trajectory."""
+    import yaml
+
+    template = {
+        "seed": 1, "debug": False, "pretrained_model_path": "tiny",
+        "data_dir": str(demo),
+        "model_name": "tiny_mesh", "exp_name": "${video_name}",
+        "inv_dir": "inversions",
+        "output_dir": "${data_dir}/${inv_dir}/${model_name}/${exp_name}",
+        "image_size": [HW, HW],
+        "video_dir": "${data_dir}/demo",
+        "video_name": "ReplaceMe", "video_path": "ReplaceMe",
+        "video_frames_path": "ReplaceMe",
+        "n_frames": F,
+        "inverse_config": {
+            "image_size": "${image_size}", "n_frames": "${n_frames}",
+            "cfg": 1.0, "target_fps": 8, "prompt": "", "negative_prompt": "",
+            "n_steps": N_STEPS, "output_dir": "${output_dir}/ddim_latents",
+            "inverse_static_video": False, "null_image_inversion": False,
+        },
+    }
+    tpl = tmp_path / "mesh_template.yaml"
+    tpl.write_text(yaml.safe_dump(template))
+    entries = [{"active": True, "force_recompute_latents": True, "video_name": "bg"}]
+    gjson = tmp_path / "mesh_group.json"
+    gjson.write_text(json.dumps(entries))
+
+    from mvoc_tpu.cli import inverse as inverse_cli
+
+    _run_cli(
+        inverse_cli,
+        ["inverse", "--template_config", str(tpl), "--configs_json", str(gjson),
+         "--checkpoint", "tiny", "--mesh", "8", "--mesh_seq", "2"],
+        monkeypatch,
+    )
+    from mvoc_tpu.io.trajectory import TrajectoryStore
+
+    store = TrajectoryStore(str(demo / "inversions" / "tiny_mesh" / "bg" / "ddim_latents"))
+    assert len(store.timesteps) == N_STEPS
+    lat = store.load_at_t(int(store.timesteps[0]))
+    assert np.isfinite(lat).all()

@@ -180,3 +180,83 @@ def test_vae_key_fn_mapping():
     }
     for key, want in cases.items():
         assert f(key) == want, (key, f(key), want)
+
+
+def test_infer_unet_geometry_from_shapes():
+    """Attention geometry comes from checkpoint tensor shapes, not
+    hardcoded assumptions (transformer_in / temporal-encoder head dims);
+    contradictions raise instead of silently mis-wiring."""
+    import numpy as np
+    import pytest
+
+    from mvoc_tpu.models import convert
+    from mvoc_tpu.models.unet_i2vgen import UNetConfig
+
+    cfg = UNetConfig()  # flagship: ch0=320, heads 8 / 2
+    sd = {
+        # transformer_in inner dim 512 (8 heads x 64) — the diffusers wiring
+        "transformer_in.transformer_blocks.0.attn1.to_q.weight":
+            np.zeros((512, 320), np.float32),
+        # temporal encoder inner 8 (2 heads x in_channels=4)
+        "image_latents_temporal_encoder.attn1.to_q.weight":
+            np.zeros((8, 4), np.float32),
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.weight":
+            np.zeros((320, 320), np.float32),
+        "mid_block.attentions.0.transformer_blocks.0.attn1.to_q.weight":
+            np.zeros((1280, 1280), np.float32),
+    }
+    out = convert.infer_unet_geometry(sd, cfg)
+    assert out.transformer_in_head_dim == 64
+    assert out.img_temporal_encoder_head_dim == 4
+
+    # a checkpoint whose block attention width contradicts the
+    # heads = ch // head_dim rule must fail loudly
+    bad = dict(sd)
+    bad["down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.weight"] = (
+        np.zeros((640, 320), np.float32))
+    with pytest.raises(ValueError, match="does not hold"):
+        convert.infer_unet_geometry(bad, cfg)
+
+    # indivisible transformer_in inner dim
+    bad2 = dict(sd)
+    bad2["transformer_in.transformer_blocks.0.attn1.to_q.weight"] = (
+        np.zeros((513, 320), np.float32))
+    with pytest.raises(ValueError, match="not divisible"):
+        convert.infer_unet_geometry(bad2, cfg)
+
+
+def test_verify_activations_tiny_pipeline():
+    """verify_activations runs every model with capture_intermediates and
+    returns finite per-module stats (the --verify loud-failure path)."""
+    from mvoc_tpu.models import convert
+    from mvoc_tpu.utils import testing as tt
+
+    pipe = tt.build_tiny_pipeline()
+    stats = convert.verify_activations(pipe)
+    assert any(k.startswith("unet/") for k in stats)
+    assert any(k.startswith("vae/") for k in stats)
+    assert any(k.startswith("text_encoder/") for k in stats)
+    assert any(k.startswith("image_encoder/") for k in stats)
+    for name, (m, s) in stats.items():
+        assert np.isfinite(m) and np.isfinite(s), name
+
+
+def test_verify_activations_catches_nonfinite():
+    """A poisoned parameter (NaN) must make verify_activations raise."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from mvoc_tpu.models import convert
+    from mvoc_tpu.utils import testing as tt
+
+    pipe = tt.build_tiny_pipeline()
+    # poison one UNet kernel with NaN
+    p = pipe.params["unet"]["params"]
+    node = p
+    while isinstance(node, dict):
+        key = sorted(node.keys())[0]
+        parent, node = node, node[key]
+    parent[key] = jnp.full_like(parent[key], jnp.nan)
+    with pytest.raises(ValueError, match="non-finite"):
+        convert.verify_activations(pipe)

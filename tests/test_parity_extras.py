@@ -88,3 +88,45 @@ def test_scan_dir_and_frame_sort(tmp_path):
     assert n == 3
     _, frames = media.load_video_frames(str(tmp_path), 3, (4, 4))
     assert len(frames) == 3
+
+
+def test_encode_frames_strict_reference_crop_quirk():
+    """The composite per-frame CLIP path must replicate the reference's
+    discarded-crop quirk by default: the UNCROPPED frame is bilinear-resized
+    into the CLIP input (pipeline_i2vgen_xl.py:1505-1508 — `_resize_bilinear(
+    image, ...)` right after computing `cropped_image`); the corrected path
+    (crop then resize, matching the single-frame site :1116-1118) is
+    available behind strict_reference_crop=False."""
+    import numpy as np
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from mvoc_tpu.io import media
+    from mvoc_tpu.models.clip import normalize_clip_image
+    from mvoc_tpu.utils import testing as tt
+
+    pipe = tt.build_tiny_pipeline()
+    rng = np.random.default_rng(11)
+    # wide frame so cropping actually changes content
+    frame = Image.fromarray(
+        rng.integers(0, 255, (16, 48, 3), dtype=np.uint8))
+    width = 48
+    sz = pipe.clip_image_size
+
+    strict = np.asarray(pipe.encode_frames([frame], width))
+    fixed = np.asarray(
+        pipe.encode_frames([frame], width, strict_reference_crop=False))
+    assert not np.allclose(strict, fixed), "quirk path must differ on wide frames"
+
+    def embed(pil):
+        px = normalize_clip_image(
+            jnp.asarray(media.pil_to_01([pil]), dtype=pipe.dtype))
+        return np.asarray(pipe._vision_apply(pipe.params["image_encoder"], px))
+
+    ref_strict = embed(media.resize_bilinear(frame, (sz, sz)))
+    np.testing.assert_allclose(strict, ref_strict, atol=1e-5)
+
+    ref_fixed = embed(media.resize_bilinear(
+        media.center_crop_wide(frame, (width, width)), (sz, sz)))
+    np.testing.assert_allclose(fixed, ref_fixed, atol=1e-5)

@@ -379,7 +379,10 @@ def test_trajectory_meta_stale_cache_detection(tmp_path, rng):
     # legacy store without meta: assume match (reference behavior)
     store3 = TrajectoryStore(str(tmp_path / "nometa"))
     store3.save([1], lat[:1])
-    assert TrajectoryStore(str(tmp_path / "nometa")).matches_meta({"n_steps": 9})
+    # missing meta = NOT a match (stale/foreign caches must recompute)
+    assert not TrajectoryStore(str(tmp_path / "nometa")).matches_meta({"n_steps": 9})
+    assert TrajectoryStore(str(tmp_path / "nometa")).matches_meta(
+        {"n_steps": 9}, missing_ok=True)
 
 
 def test_bf16_inversion_tracks_fp32(pipe, cond1):
@@ -595,3 +598,107 @@ def test_composite_stream_capture_equals_fused(pipe, cond1):
     cw_false = pnp_lib.build_capture_weights(pyr, pyr, inject_background=False)
     np.testing.assert_allclose(
         run("stream", False, cw_false), run(False, False, None), atol=5e-4)
+
+
+def test_pab_cache_replaces_attention_exactly(pipe, cond1):
+    """PAB wiring: pab_capture sows every up-block attention output; feeding
+    the captured dict back as pab_cache on IDENTICAL inputs must reproduce
+    the same eps bit-for-bit (the cache substitutes, never perturbs), and
+    the capture pass itself must equal the plain forward."""
+    rng = np.random.default_rng(21)
+    d = pipe.unet.config.cross_attention_dim
+    B = 5
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    kw = dict(
+        sample=mk(B, F, LAT, LAT, 4),
+        timestep=jnp.asarray([500] * B), fps=jnp.asarray([8] * B),
+        image_latents_first=mk(B, F, LAT, LAT, 4),
+        image_latents=mk(B, F, LAT, LAT, 4),
+        image_embeddings=mk(B, F, d),
+        encoder_hidden_states=mk(B, 7, d),
+    )
+    eps_plain = pipe.unet.apply(pipe.params["unet"], **kw)
+    eps_cap, variables = pipe.unet.apply(
+        pipe.params["unet"], **kw, pab_capture=True, mutable=["attn_out"])
+    cache = {k: v[0] for k, v in variables["attn_out"].items()}
+    # up_blocks 1..3 x 3 layers x (spatial a1+a2, temporal a1+a2) = 36 sites
+    assert len(cache) == 36, sorted(cache)
+    np.testing.assert_allclose(np.asarray(eps_cap), np.asarray(eps_plain),
+                               atol=1e-6)
+    eps_cached = pipe.unet.apply(pipe.params["unet"], **kw, pab_cache=cache)
+    np.testing.assert_allclose(np.asarray(eps_cached), np.asarray(eps_plain),
+                               atol=1e-6)
+
+
+def test_composite_pab_interval(pipe, cond1):
+    """pnp_composite_core with pab_interval=2: step 0 recomputes attention,
+    step 1 broadcasts it.  The scan must compile/run, stay finite, and step
+    0 must agree with the exact path (divergence only begins at cached
+    steps)."""
+    from mvoc_tpu import pnp as pnp_lib
+    from mvoc_tpu.ops.ddim import sampling_timesteps
+
+    rng = np.random.default_rng(22)
+    n_obj = 2
+    B = n_obj + 3
+    d = pipe.unet.config.cross_attention_dim
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    cond = core.UNetConditioning(
+        encoder_hidden_states=mk(B, 7, d),
+        image_latents_first=mk(B, F, LAT, LAT, 4),
+        image_latents=mk(B, F, LAT, LAT, 4),
+        image_embeddings=mk(B, F, d),
+        fps=jnp.asarray([8] * B),
+    )
+    masks = np.zeros((n_obj, F, LAT, LAT), np.float32)
+    masks[0, :, : LAT // 2] = 1.0
+    masks[1, :, :, : LAT // 2] = 1.0
+    res = [(LAT, LAT), (LAT // 2, LAT // 2), (LAT // 4, LAT // 4)]
+    pyr = {k: jnp.asarray(v)
+           for k, v in pnp_lib.build_mask_pyramid(masks, res).items()}
+    S = 3
+    ts = jnp.asarray(sampling_timesteps(SchedulerConfig(), 10)[:S])
+    on = jnp.ones((S,), bool)
+    sched = core.CompositeSchedule(
+        bg_traj=mk(S, F, LAT, LAT, 4),
+        obj_traj=mk(S, n_obj, F, LAT, LAT, 4),
+        obj_fusion_lat=mk(n_obj, F, LAT, LAT, 4),
+        gate_spatial=on, gate_temporal=on, gate_conv=on,
+        fusion_mask=jnp.asarray([True, False, False]),
+        timesteps=ts,
+    )
+    ddim = DDIM(SchedulerConfig())
+    xT = mk(F, LAT, LAT, 4)
+
+    def run(pab_interval, n_steps_used):
+        import dataclasses as dc
+
+        s = dc.replace(
+            sched,
+            bg_traj=sched.bg_traj[:n_steps_used],
+            obj_traj=sched.obj_traj[:n_steps_used],
+            gate_spatial=sched.gate_spatial[:n_steps_used],
+            gate_temporal=sched.gate_temporal[:n_steps_used],
+            gate_conv=sched.gate_conv[:n_steps_used],
+            fusion_mask=sched.fusion_mask[:n_steps_used],
+            timesteps=sched.timesteps[:n_steps_used])
+        kw = {}
+        if pab_interval > 1:
+            kw = dict(pab_interval=pab_interval,
+                      init_attn_cache=pipe._attn_cache_zeros(B, F, LAT, LAT))
+        return np.asarray(core.pnp_composite_core(
+            pipe._unet_apply, ddim, pipe.params["unet"], xT, cond, s,
+            jnp.asarray(masks), pyr, pyr,
+            num_inference_steps=10, guidance_scale=3.0,
+            random_noise_ratio=0.3, **kw))
+
+    exact1 = run(1, 1)
+    pab1 = run(2, 1)  # one step: always fresh -> identical to exact
+    np.testing.assert_allclose(pab1, exact1, atol=1e-5)
+
+    pab3 = run(2, 3)  # steps 0,2 fresh, 1 cached: runs + finite
+    assert pab3.shape == exact1.shape
+    assert np.isfinite(pab3).all()
+    exact3 = run(1, 3)
+    assert not np.allclose(pab3, exact3), (
+        "pab interval 2 should actually skip attention on cached steps")

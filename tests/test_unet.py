@@ -243,3 +243,47 @@ def test_temporal_natural_layout_two_pass(unet):
     ref = run_two_pass(model)
     nat = run_two_pass(model_nat)
     np.testing.assert_allclose(nat, ref, atol=2e-4)
+
+
+def test_partial_depth_encoder_reuse_exact_on_same_inputs():
+    """encoder_reuse_depth=k: the cache holds only down blocks k.. + mid
+    (smaller pytree); splicing it back on IDENTICAL inputs while recomputing
+    the shallow blocks must reproduce the plain forward exactly."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet, UNetConfig
+
+    cfg = UNetConfig.tiny()
+    model = I2VGenXLUNet(cfg)
+    rng = np.random.default_rng(13)
+    B, F, LAT = 2, 2, 8
+    d = cfg.cross_attention_dim
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    kw = dict(
+        sample=mk(B, F, LAT, LAT, 4),
+        timestep=jnp.asarray([500] * B), fps=jnp.asarray([8] * B),
+        image_latents_first=mk(B, F, LAT, LAT, 4),
+        image_latents=mk(B, F, LAT, LAT, 4),
+        image_embeddings=mk(B, F, d),
+        encoder_hidden_states=mk(B, 7, d),
+    )
+    params = model.init(jax.random.key(0), **kw)
+    ref = np.asarray(model.apply(params, **kw))
+
+    _, full_cache = model.apply(params, **kw, return_encoder=True)
+    full_leaves = sum(x.size for x in jax.tree_util.tree_leaves(full_cache))
+
+    for depth in (1, 2):
+        eps, cache = model.apply(params, **kw, return_encoder=True,
+                                 encoder_reuse_depth=depth)
+        np.testing.assert_allclose(np.asarray(eps), ref, atol=1e-6)
+        part_leaves = sum(x.size for x in jax.tree_util.tree_leaves(cache))
+        assert part_leaves < full_leaves, (
+            f"depth {depth} cache not smaller: {part_leaves} vs {full_leaves}")
+        out = model.apply(params, **kw, cached_encoder=cache,
+                          encoder_reuse_depth=depth)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6,
+                                   err_msg=f"depth {depth}")

@@ -6,6 +6,14 @@ denoising steps — the TPU-native replacement for the reference's python
 step loops (reference: pipeline_i2vgen_xl.py:1940-2000 invert loop,
 :1166-1202 sampling loop, :1635-1734 composite loop).  All trajectory data
 is device-resident; there is no host/disk traffic inside a scan.
+
+Feature caching (encoder reuse / PAB attention broadcast) is compiled as
+STATICALLY PARTITIONED nested scans instead of `lax.cond` inside the step
+body: step i is "fresh" iff i % k == 0, which is known at trace time, so
+the loop becomes an outer scan over blocks of [1 fresh step + (k-1)
+cached steps] (plus a remainder block).  No cond, no dead branch in the
+hot loop, the cache lives only within a block, and no zero-cache
+initializer is needed.
 """
 
 from __future__ import annotations
@@ -55,6 +63,67 @@ def prepare_image_latents(first_frame_latents: jax.Array, num_frames: int) -> ja
 
 
 # ---------------------------------------------------------------------------
+# Blockwise caching scan (shared by inversion + composite)
+# ---------------------------------------------------------------------------
+
+
+def _blockwise_cached_scan(step_fresh, step_cached, init, xs, n_steps: int, k: int):
+    """Run n_steps where step i is "fresh" iff i % k == 0, with the
+    fresh/cached split resolved STATICALLY (no lax.cond).
+
+    step_fresh(lat, xs_i)          -> (next_lat, cache, y)
+    step_cached(lat, cache, xs_i)  -> (next_lat, y)     (cache read-only)
+
+    xs: pytree with leading axis n_steps.  Returns (final_lat, ys) where ys
+    stacks the per-step y outputs (None when the steps yield None).
+    """
+    nb, r = divmod(n_steps, k)
+
+    def cached_body(carry, x):
+        lat, cache = carry
+        nxt, y = step_cached(lat, cache, x)
+        return (nxt, cache), y
+
+    def run_block(lat, xs_blk, width: int):
+        x0 = jax.tree.map(lambda v: v[0], xs_blk)
+        nxt, cache, y0 = step_fresh(lat, x0)
+        if width == 1:
+            ys = None if y0 is None else jax.tree.map(lambda v: v[None], y0)
+            return nxt, ys
+        (fin, _), ys_rest = jax.lax.scan(
+            cached_body, (nxt, cache), jax.tree.map(lambda v: v[1:], xs_blk))
+        if y0 is None:
+            return fin, None
+        ys = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), y0, ys_rest)
+        return fin, ys
+
+    lat = init
+    parts = []
+    if nb > 0:
+        xs_main = jax.tree.map(
+            lambda v: v[: nb * k].reshape((nb, k) + v.shape[1:]), xs)
+
+        def outer(lat, xs_blk):
+            return run_block(lat, xs_blk, k)
+
+        lat, ys_main = jax.lax.scan(outer, lat, xs_main)
+        if ys_main is not None:
+            parts.append(jax.tree.map(
+                lambda v: v.reshape((nb * k,) + v.shape[2:]), ys_main))
+    if r > 0:
+        xs_rem = jax.tree.map(lambda v: v[nb * k:], xs)
+        lat, ys_rem = run_block(lat, xs_rem, r)
+        if ys_rem is not None:
+            parts.append(ys_rem)
+    if not parts:
+        return lat, None
+    if len(parts) == 1:
+        return lat, parts[0]
+    return lat, jax.tree.map(lambda *vs: jnp.concatenate(vs, axis=0), *parts)
+
+
+# ---------------------------------------------------------------------------
 # Inversion
 # ---------------------------------------------------------------------------
 
@@ -69,7 +138,6 @@ def ddim_inversion_core(
     num_inference_steps: int,
     guidance_scale: float = 1.0,
     encoder_reuse_interval: int = 1,
-    init_encoder_cache=None,
 ) -> jax.Array:
     """Full DDIM inversion as one scan. Returns the trajectory
     [S, F, h, w, C]: entry i = latents at timesteps[i] (ascending), exactly
@@ -81,15 +149,8 @@ def ddim_inversion_core(
     """
     do_cfg = guidance_scale > 1.0
     n_branches = 2 if do_cfg else 1
-    reuse = encoder_reuse_interval > 1
 
-    def body(carry, xs):
-        if reuse:
-            latents, cache = carry
-            i, t = xs
-        else:
-            latents = carry
-            t = xs
+    def one_step(latents, t, cache=None, want_cache: bool = False):
         inp = jnp.broadcast_to(latents[None], (n_branches,) + latents.shape)
         kwargs = dict(
             sample=inp,
@@ -100,31 +161,30 @@ def ddim_inversion_core(
             image_embeddings=cond.image_embeddings,
             encoder_hidden_states=cond.encoder_hidden_states,
         )
-        if reuse:
-            fresh = (i % encoder_reuse_interval) == 0
-            eps, cache = jax.lax.cond(
-                fresh,
-                lambda c: unet_apply(unet_params, **kwargs, return_encoder=True),
-                lambda c: (unet_apply(unet_params, **kwargs, cached_encoder=c), c),
-                cache,
-            )
+        new_cache = None
+        if want_cache:
+            eps, new_cache = unet_apply(unet_params, **kwargs, return_encoder=True)
+        elif cache is not None:
+            eps = unet_apply(unet_params, **kwargs, cached_encoder=cache)
         else:
             eps = unet_apply(unet_params, **kwargs)
         if do_cfg:
             eps = eps[0] + guidance_scale * (eps[1] - eps[0])
         else:
             eps = eps[0]
-        nxt = ddim.inverse_step(eps, t, latents, num_inference_steps)
-        if reuse:
-            return (nxt, cache), nxt
+        return ddim.inverse_step(eps, t, latents, num_inference_steps), new_cache
+
+    if encoder_reuse_interval > 1:
+        _, traj = _blockwise_cached_scan(
+            lambda lat, t: (lambda nxt, c: (nxt, c, nxt))(*one_step(lat, t, want_cache=True)),
+            lambda lat, c, t: (lambda nxt, _: (nxt, nxt))(*one_step(lat, t, cache=c)),
+            x0_latents, timesteps, timesteps.shape[0], encoder_reuse_interval)
+        return traj
+
+    def body(lat, t):
+        nxt, _ = one_step(lat, t)
         return nxt, nxt
 
-    if reuse:
-        assert init_encoder_cache is not None, "encoder reuse needs a zero cache"
-        n = timesteps.shape[0]
-        (_, _), trajectory = jax.lax.scan(
-            body, (x0_latents, init_encoder_cache), (jnp.arange(n), timesteps))
-        return trajectory
     _, trajectory = jax.lax.scan(body, x0_latents, timesteps)
     return trajectory
 
@@ -138,7 +198,6 @@ def ddim_inversion_batch_core(
     timesteps: jax.Array,             # [S] ascending inversion timesteps
     num_inference_steps: int,
     encoder_reuse_interval: int = 1,
-    init_encoder_cache=None,
 ) -> jax.Array:
     """Invert J independent videos in ONE scan, J = the UNet batch axis.
 
@@ -149,15 +208,8 @@ def ddim_inversion_batch_core(
     Inversion runs at cfg == 1 (group_inversion/template.yaml:32), so each
     video contributes exactly one UNet branch.  Returns [S, J, F, h, w, C].
     """
-    reuse = encoder_reuse_interval > 1
 
-    def body(carry, xs):
-        if reuse:
-            latents, cache = carry
-            i, t = xs
-        else:
-            latents = carry
-            t = xs
+    def one_step(latents, t, cache=None, want_cache: bool = False):
         kwargs = dict(
             sample=latents,
             timestep=t,
@@ -167,27 +219,26 @@ def ddim_inversion_batch_core(
             image_embeddings=cond.image_embeddings,
             encoder_hidden_states=cond.encoder_hidden_states,
         )
-        if reuse:
-            fresh = (i % encoder_reuse_interval) == 0
-            eps, cache = jax.lax.cond(
-                fresh,
-                lambda c: unet_apply(unet_params, **kwargs, return_encoder=True),
-                lambda c: (unet_apply(unet_params, **kwargs, cached_encoder=c), c),
-                cache,
-            )
+        new_cache = None
+        if want_cache:
+            eps, new_cache = unet_apply(unet_params, **kwargs, return_encoder=True)
+        elif cache is not None:
+            eps = unet_apply(unet_params, **kwargs, cached_encoder=cache)
         else:
             eps = unet_apply(unet_params, **kwargs)
-        nxt = ddim.inverse_step(eps, t, latents, num_inference_steps)
-        if reuse:
-            return (nxt, cache), nxt
+        return ddim.inverse_step(eps, t, latents, num_inference_steps), new_cache
+
+    if encoder_reuse_interval > 1:
+        _, traj = _blockwise_cached_scan(
+            lambda lat, t: (lambda nxt, c: (nxt, c, nxt))(*one_step(lat, t, want_cache=True)),
+            lambda lat, c, t: (lambda nxt, _: (nxt, nxt))(*one_step(lat, t, cache=c)),
+            x0_latents, timesteps, timesteps.shape[0], encoder_reuse_interval)
+        return traj
+
+    def body(lat, t):
+        nxt, _ = one_step(lat, t)
         return nxt, nxt
 
-    if reuse:
-        assert init_encoder_cache is not None, "encoder reuse needs a zero cache"
-        n = timesteps.shape[0]
-        (_, _), trajectory = jax.lax.scan(
-            body, (x0_latents, init_encoder_cache), (jnp.arange(n), timesteps))
-        return trajectory
     _, trajectory = jax.lax.scan(body, x0_latents, timesteps)
     return trajectory
 
@@ -293,11 +344,9 @@ def pnp_composite_core(
     obj_random_noise_fusion: bool = False,
     inject_background: bool = True,
     encoder_reuse_interval: int = 1,
-    init_encoder_cache=None,
     two_pass=False,
     capture_weights=None,
     pab_interval: int = 1,
-    init_attn_cache=None,
 ) -> jax.Array:
     """The MVOC composite sampler as one scan (reference:
     pipeline_i2vgen_xl.py:1635-1734 + pnp_utils injection sites).
@@ -309,9 +358,8 @@ def pnp_composite_core(
     encoder_reuse_interval > 1 enables training-free encoder reuse
     (arXiv 2312.09608): the UNet down+mid features are recomputed only every
     k-th step and reused in between (PnP injection lives in the up blocks,
-    so it stays exact w.r.t. the reused features).  `init_encoder_cache`
-    must be a zero pytree with the encoder-feature structure (see
-    I2VGenXLPipeline._encoder_cache_zeros).
+    so it stays exact w.r.t. the reused features).  Compiled as statically
+    partitioned block scans — see _blockwise_cached_scan.
 
     two_pass=True runs each step as capture(sources, batch N+1) then
     consume(edits, batch 2) — numerically identical to the fused batch
@@ -319,15 +367,19 @@ def pnp_composite_core(
     of N+3.  Composes with encoder reuse: since every encoder op is
     per-batch-element (GroupNorm/attention never mix batch rows), caching
     the source-pass (N+1) and edit-pass (2) encoders separately is exactly
-    the fused batch-(N+3) cache split in two — `init_encoder_cache` must
-    then be a (src_cache, edit_cache) tuple.
+    the fused batch-(N+3) cache split in two.
 
     two_pass="stream" scans the capture over source branches ONE at a time
     (batch 1): per-branch site terms x_b * M_b sum to the same
     pre-composited S (weights from pnp.build_capture_weights, passed as
     `capture_weights`), so peak activation memory is ONE branch —
-    independent of object count.  With reuse, `init_encoder_cache` is
-    (src_caches stacked [N+1, ...], edit_cache).
+    independent of object count.  With reuse the per-branch caches ride the
+    capture scan as stacked [N+1, ...] ys.
+
+    pab_interval > 1 enables PAB attention-output broadcast
+    (arXiv 2408.12588) on the fused path: up-block attention outputs are
+    recomputed every k-th step and broadcast in between (approximate;
+    interval 1 = off/exact).
     """
     n_obj = masks_soft.shape[0]
     mask_b = masks_soft[..., None]  # [N, F, h, w, 1]
@@ -337,13 +389,8 @@ def pnp_composite_core(
         assert capture_weights is not None, "stream capture needs capture_weights"
     pab = pab_interval > 1
     if pab:
-        # PAB attention-output broadcast (arXiv 2408.12588): up-block
-        # attention outputs recomputed every pab_interval-th step and
-        # broadcast in between (see I2VGenXLUNet pab_capture/pab_cache).
-        # Fused execution only; not composed with the other caches.
         assert not (two_pass or stream or reuse), (
             "pab_interval composes with the fused path only")
-        assert init_attn_cache is not None, "pab needs a zero attn cache"
 
     def _slice_cond(c, lo, hi):
         return UNetConditioning(
@@ -354,13 +401,15 @@ def pnp_composite_core(
             fps=c.fps[lo:hi],
         )
 
-    def body(carry, xs):
-        if reuse or pab:
-            latents, cache = carry
-            (i, t, bg_lat, obj_lat, g_sp, g_tmp, g_conv, fuse) = xs
-        else:
-            latents = carry
-            (t, bg_lat, obj_lat, g_sp, g_tmp, g_conv, fuse) = xs
+    def step(latents, xs, cache=None, mode: str = "plain"):
+        """One composite denoising step.
+
+        mode (STATIC): "plain" (no caching), "fresh" (compute + return the
+        cache), "cached" (consume `cache`).  The cache is the encoder
+        cache(s) under reuse, the attn_out dict under pab.
+        Returns (next_latents, new_cache_or_None).
+        """
+        (t, bg_lat, obj_lat, g_sp, g_tmp, g_conv, fuse) = xs
 
         # --- noise fusion (reference: pipeline_i2vgen_xl.py:1639-1665) ---
         def fused(lat):
@@ -428,40 +477,34 @@ def pnp_composite_core(
                     _, variables = unet_apply(unet_params, **kw)
                 return {k: v[0] for k, v in variables["pnp_features"].items()}
 
-            def cond_at(c, j):
-                return jax.tree.map(lambda x: x[j], c)
-
-            wgt_at = lambda j: jax.tree.map(
-                lambda x: x[j], capture_weights)
-
             feats_shapes = jax.eval_shape(
-                lambda: branch_apply(cond_at(src_cond, 0), src_inp[0], wgt_at(0)))
+                lambda: branch_apply(
+                    jax.tree.map(lambda x: x[0], src_cond), src_inp[0],
+                    jax.tree.map(lambda x: x[0], capture_weights)))
             feats0 = jax.tree.map(
                 lambda sh: jnp.zeros(sh.shape, sh.dtype), feats_shapes)
 
-            if reuse:
-                src_caches, edit_cache = cache
-                fresh = (i % encoder_reuse_interval) == 0
+            src_caches_out = None
+            if mode == "fresh":
+                def cap_body(feats_acc, xs_b):
+                    cond_b, inp_b, wgt_b = xs_b
+                    f_b, enc = branch_apply(cond_b, inp_b, wgt_b,
+                                            want_cache=True)
+                    return jax.tree.map(lambda a, b: a + b, feats_acc, f_b), enc
+
+                feats, src_caches_out = jax.lax.scan(
+                    cap_body, feats0, (src_cond, src_inp, capture_weights))
+            elif mode == "cached":
+                src_caches_in, edit_cache = cache
 
                 def cap_body(feats_acc, xs_b):
                     cond_b, inp_b, wgt_b, cache_b = xs_b
+                    f_b = branch_apply(cond_b, inp_b, wgt_b, cache_b=cache_b)
+                    return jax.tree.map(lambda a, b: a + b, feats_acc, f_b), None
 
-                    def go_fresh(c):
-                        return branch_apply(cond_b, inp_b, wgt_b,
-                                            want_cache=True)
-
-                    def go_cached(c):
-                        return branch_apply(cond_b, inp_b, wgt_b,
-                                            cache_b=c), c
-
-                    f_b, new_cache = jax.lax.cond(
-                        fresh, go_fresh, go_cached, cache_b)
-                    acc = jax.tree.map(lambda a, b: a + b, feats_acc, f_b)
-                    return acc, new_cache
-
-                feats, src_caches = jax.lax.scan(
+                feats, _ = jax.lax.scan(
                     cap_body, feats0,
-                    (src_cond, src_inp, capture_weights, src_caches))
+                    (src_cond, src_inp, capture_weights, src_caches_in))
             else:
                 def cap_body(feats_acc, xs_b):
                     cond_b, inp_b, wgt_b = xs_b
@@ -484,24 +527,18 @@ def pnp_composite_core(
                 encoder_hidden_states=edit_cond.encoder_hidden_states,
                 pnp=pnp_consume,
             )
-            if reuse:
-                def edit_fresh(c):
-                    return unet_apply(unet_params, **edit_kwargs,
-                                      return_encoder=True)
-
-                def edit_cached(c):
-                    return unet_apply(unet_params, **edit_kwargs,
-                                      cached_encoder=c), c
-
-                eps_edit, edit_cache = jax.lax.cond(
-                    fresh, edit_fresh, edit_cached, edit_cache)
+            new_cache = None
+            if mode == "fresh":
+                eps_edit, edit_cache = unet_apply(
+                    unet_params, **edit_kwargs, return_encoder=True)
+                new_cache = (src_caches_out, edit_cache)
+            elif mode == "cached":
+                eps_edit = unet_apply(unet_params, **edit_kwargs,
+                                      cached_encoder=cache[1])
             else:
                 eps_edit = unet_apply(unet_params, **edit_kwargs)
             eps_g = eps_edit[0] + guidance_scale * (eps_edit[1] - eps_edit[0])
-            nxt = ddim.step(eps_g, t, latents, num_inference_steps)
-            if reuse:
-                return (nxt, (src_caches, edit_cache)), None
-            return nxt, None
+            return ddim.step(eps_g, t, latents, num_inference_steps), new_cache
 
         if two_pass:
             src_cond = _slice_cond(cond, 0, n_obj + 1)
@@ -521,24 +558,15 @@ def pnp_composite_core(
                 pnp=pnp_state,
                 pnp_capture=True,
             )
-            if reuse:
-                src_cache, edit_cache = cache
-                fresh = (i % encoder_reuse_interval) == 0
-
-                def src_fresh(c):
-                    (_, enc), variables = unet_apply(
-                        unet_params, **src_kwargs, return_encoder=True,
-                        mutable=["pnp_features"])
-                    return variables, enc
-
-                def src_cached(c):
-                    _, variables = unet_apply(
-                        unet_params, **src_kwargs, cached_encoder=c,
-                        mutable=["pnp_features"])
-                    return variables, c
-
-                variables, src_cache = jax.lax.cond(
-                    fresh, src_fresh, src_cached, src_cache)
+            src_cache_out = None
+            if mode == "fresh":
+                (_, src_cache_out), variables = unet_apply(
+                    unet_params, **src_kwargs, return_encoder=True,
+                    mutable=["pnp_features"])
+            elif mode == "cached":
+                _, variables = unet_apply(
+                    unet_params, **src_kwargs, cached_encoder=cache[0],
+                    mutable=["pnp_features"])
             else:
                 _, variables = unet_apply(
                     unet_params, **src_kwargs, mutable=["pnp_features"])
@@ -557,26 +585,21 @@ def pnp_composite_core(
                 encoder_hidden_states=edit_cond.encoder_hidden_states,
                 pnp=pnp_consume,
             )
-            if reuse:
-                def edit_fresh(c):
-                    return unet_apply(unet_params, **edit_kwargs,
-                                      return_encoder=True)
-
-                def edit_cached(c):
-                    return unet_apply(unet_params, **edit_kwargs,
-                                      cached_encoder=c), c
-
-                eps_edit, edit_cache = jax.lax.cond(
-                    fresh, edit_fresh, edit_cached, edit_cache)
+            new_cache = None
+            if mode == "fresh":
+                eps_edit, edit_cache = unet_apply(
+                    unet_params, **edit_kwargs, return_encoder=True)
+                new_cache = (src_cache_out, edit_cache)
+            elif mode == "cached":
+                eps_edit = unet_apply(unet_params, **edit_kwargs,
+                                      cached_encoder=cache[1])
             else:
                 eps_edit = unet_apply(unet_params, **edit_kwargs)
             eps_neg, eps_pos = eps_edit[0], eps_edit[1]
             eps_g = eps_neg + guidance_scale * (eps_pos - eps_neg)
-            nxt = ddim.step(eps_g, t, latents, num_inference_steps)
-            if reuse:
-                return (nxt, (src_cache, edit_cache)), None
-            return nxt, None
+            return ddim.step(eps_g, t, latents, num_inference_steps), new_cache
 
+        # ---- fused path (all N+3 branches in one batch) -----------------
         kwargs = dict(
             sample=inp,
             timestep=t,
@@ -587,44 +610,24 @@ def pnp_composite_core(
             encoder_hidden_states=cond.encoder_hidden_states,
             pnp=pnp_state,
         )
-        if reuse:
-            fresh = (i % encoder_reuse_interval) == 0
-
-            def run_fresh(cache_in):
-                eps, new_cache = unet_apply(
-                    unet_params, **kwargs, return_encoder=True)
-                return eps, new_cache
-
-            def run_cached(cache_in):
-                eps = unet_apply(unet_params, **kwargs, cached_encoder=cache_in)
-                return eps, cache_in
-
-            eps, cache = jax.lax.cond(fresh, run_fresh, run_cached, cache)
-        elif pab:
-            fresh = (i % pab_interval) == 0
-
-            def pab_fresh(cache_in):
-                eps, variables = unet_apply(
-                    unet_params, **kwargs, pab_capture=True,
-                    mutable=["attn_out"])
-                new_cache = {k: v[0] for k, v in variables["attn_out"].items()}
-                return eps, new_cache
-
-            def pab_cached(cache_in):
-                eps = unet_apply(unet_params, **kwargs, pab_cache=cache_in)
-                return eps, cache_in
-
-            eps, cache = jax.lax.cond(fresh, pab_fresh, pab_cached, cache)
+        new_cache = None
+        if mode == "fresh" and reuse:
+            eps, new_cache = unet_apply(unet_params, **kwargs, return_encoder=True)
+        elif mode == "cached" and reuse:
+            eps = unet_apply(unet_params, **kwargs, cached_encoder=cache)
+        elif mode == "fresh" and pab:
+            eps, variables = unet_apply(
+                unet_params, **kwargs, pab_capture=True, mutable=["attn_out"])
+            new_cache = {k: v[0] for k, v in variables["attn_out"].items()}
+        elif mode == "cached" and pab:
+            eps = unet_apply(unet_params, **kwargs, pab_cache=cache)
         else:
             eps = unet_apply(unet_params, **kwargs)
 
         # CFG over the last two chunks (reference :1713-1717)
         eps_neg, eps_pos = eps[n_obj + 1], eps[n_obj + 2]
         eps_g = eps_neg + guidance_scale * (eps_pos - eps_neg)
-        nxt = ddim.step(eps_g, t, latents, num_inference_steps)
-        if reuse or pab:
-            return (nxt, cache), None
-        return nxt, None
+        return ddim.step(eps_g, t, latents, num_inference_steps), new_cache
 
     xs = (
         sched.timesteps,
@@ -635,13 +638,18 @@ def pnp_composite_core(
         sched.gate_conv,
         sched.fusion_mask,
     )
+    n_run = sched.timesteps.shape[0]
     if reuse or pab:
-        assert (init_encoder_cache if reuse else init_attn_cache) is not None, (
-            "caching needs a zero cache")
-        n_run = sched.timesteps.shape[0]
-        xs = (jnp.arange(n_run),) + xs
-        cache0 = init_encoder_cache if reuse else init_attn_cache
-        (final, _), _ = jax.lax.scan(body, (init_latents, cache0), xs)
+        k = encoder_reuse_interval if reuse else pab_interval
+        final, _ = _blockwise_cached_scan(
+            lambda lat, x: (lambda nxt, c: (nxt, c, None))(*step(lat, x, mode="fresh")),
+            lambda lat, c, x: (step(lat, x, cache=c, mode="cached")[0], None),
+            init_latents, xs, n_run, k)
         return final
+
+    def body(lat, x):
+        nxt, _ = step(lat, x)
+        return nxt, None
+
     final, _ = jax.lax.scan(body, init_latents, xs)
     return final

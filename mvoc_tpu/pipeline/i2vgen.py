@@ -429,17 +429,12 @@ class I2VGenXLPipeline:
 
         ts = inversion_timesteps(self.scheduler_config, num_inference_steps)
         if encoder_reuse_interval > 1:
-            lat_h, lat_w = latents.shape[1], latents.shape[2]
-            init_cache = self._encoder_cache_zeros(
-                cond.encoder_hidden_states.shape[0], num_frames, lat_h, lat_w,
-                depth=encoder_reuse_depth)
             ua = self._reuse_unet_apply(encoder_reuse_depth)
             invert_fn = jax.jit(
                 lambda p, x0, c, t: core.ddim_inversion_core(
                     ua, self.ddim, p, x0, c, t,
                     num_inference_steps, float(guidance_scale),
                     encoder_reuse_interval=int(encoder_reuse_interval),
-                    init_encoder_cache=init_cache,
                 )
             )
             trajectory = invert_fn(
@@ -520,11 +515,7 @@ class I2VGenXLPipeline:
         ts = inversion_timesteps(self.scheduler_config, num_inference_steps)
         kwargs = {}
         if encoder_reuse_interval > 1:
-            kwargs = dict(
-                encoder_reuse_interval=int(encoder_reuse_interval),
-                init_encoder_cache=self._encoder_cache_zeros(
-                    J, num_frames, x0.shape[2], x0.shape[3]),
-            )
+            kwargs = dict(encoder_reuse_interval=int(encoder_reuse_interval))
         batch_fn = jax.jit(
             lambda p, x, c, t: core.ddim_inversion_batch_core(
                 self._unet_apply, self.ddim, p, x, c, t,
@@ -837,37 +828,6 @@ class I2VGenXLPipeline:
             capture_weights = pnp_lib.build_capture_weights(
                 pyr_bin, pyr_soft, inject_background)
 
-        init_cache = None
-        if encoder_reuse_interval > 1:
-            h_l = height // self.vae_scale_factor
-            w_l = width // self.vae_scale_factor
-            dep = encoder_reuse_depth
-            if stream:
-                # per-source-branch batch-1 caches stacked [N+1, ...]
-                one = self._encoder_cache_zeros(1, num_frames, h_l, w_l, depth=dep)
-                init_cache = (
-                    jax.tree.map(
-                        lambda x: jnp.broadcast_to(
-                            x[None], (n_obj + 1,) + x.shape), one),
-                    self._encoder_cache_zeros(2, num_frames, h_l, w_l, depth=dep),
-                )
-            elif two_pass:
-                # separate source-pass / edit-pass caches (see core.py)
-                init_cache = (
-                    self._encoder_cache_zeros(n_obj + 1, num_frames, h_l, w_l, depth=dep),
-                    self._encoder_cache_zeros(2, num_frames, h_l, w_l, depth=dep),
-                )
-            else:
-                init_cache = self._encoder_cache_zeros(
-                    n_obj + 3, num_frames, h_l, w_l, depth=dep)
-
-        init_attn_cache = None
-        if pab_interval > 1:
-            h_l = height // self.vae_scale_factor
-            w_l = width // self.vae_scale_factor
-            init_attn_cache = self._attn_cache_zeros(
-                n_obj + 3, num_frames, h_l, w_l)
-
         reuse_ua = self._reuse_unet_apply(
             encoder_reuse_depth if encoder_reuse_interval > 1 else None)
         composite_fn = jax.jit(
@@ -880,11 +840,9 @@ class I2VGenXLPipeline:
                 obj_random_noise_fusion=obj_random_noise_fusion,
                 inject_background=inject_background,
                 encoder_reuse_interval=int(encoder_reuse_interval),
-                init_encoder_cache=init_cache,
                 two_pass=two_pass,
                 capture_weights=capture_weights,
                 pab_interval=int(pab_interval),
-                init_attn_cache=init_attn_cache,
             )
         )
         final = composite_fn(
@@ -895,31 +853,6 @@ class I2VGenXLPipeline:
             return final
         return self.decode_latents(final, decode_chunk_size=decode_chunk_size)
 
-    def _encoder_cache_zeros(self, n_branches: int, num_frames: int,
-                             h_lat: int, w_lat: int,
-                             depth: Optional[int] = None):
-        """Zero pytree matching the UNet's encoder-feature structure, used
-        as the scan-carry seed for encoder reuse (step 0 always recomputes).
-        depth=k builds the PARTIAL-DEPTH cache (deep skips + mid only)."""
-        d = self.unet.config.cross_attention_dim
-
-        def fn():
-            z = jnp.zeros((n_branches, num_frames, h_lat, w_lat,
-                           self.unet.config.in_channels), self.dtype)
-            _, cache = self.unet.apply(
-                self.params["unet"],
-                sample=z, timestep=jnp.zeros((), jnp.int32),
-                fps=jnp.zeros((), jnp.int32),
-                image_latents_first=z, image_latents=z,
-                image_embeddings=jnp.zeros((n_branches, num_frames, d), self.dtype),
-                encoder_hidden_states=jnp.zeros((n_branches, 77, d), self.dtype),
-                return_encoder=True, encoder_reuse_depth=depth,
-            )
-            return cache
-
-        shapes = jax.eval_shape(fn)
-        return jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes)
-
     def _reuse_unet_apply(self, depth: Optional[int]):
         """unet_apply with the partial-depth reuse bound (no-op when
         depth is None — encoder_reuse_depth only acts on the cache paths)."""
@@ -928,30 +861,6 @@ class I2VGenXLPipeline:
         d_ = int(depth)
         return lambda p, **kw: self.unet.apply(
             p, **kw, freeu=self.freeu, encoder_reuse_depth=d_)
-
-    def _attn_cache_zeros(self, n_branches: int, num_frames: int,
-                          h_lat: int, w_lat: int):
-        """Zero pytree matching the up-block attention-output structure
-        ("attn_out" collection) — the scan-carry seed for PAB broadcast
-        (step 0 always recomputes)."""
-        d = self.unet.config.cross_attention_dim
-
-        def fn():
-            z = jnp.zeros((n_branches, num_frames, h_lat, w_lat,
-                           self.unet.config.in_channels), self.dtype)
-            _, variables = self.unet.apply(
-                self.params["unet"],
-                sample=z, timestep=jnp.zeros((), jnp.int32),
-                fps=jnp.zeros((), jnp.int32),
-                image_latents_first=z, image_latents=z,
-                image_embeddings=jnp.zeros((n_branches, num_frames, d), self.dtype),
-                encoder_hidden_states=jnp.zeros((n_branches, 77, d), self.dtype),
-                pab_capture=True, mutable=["attn_out"],
-            )
-            return {k: v[0] for k, v in variables["attn_out"].items()}
-
-        shapes = jax.eval_shape(fn)
-        return jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes)
 
     def _injection_resolutions(self, h_lat: int, w_lat: int) -> list[tuple[int, int]]:
         """Spatial sizes at which injection sites run: up_blocks[1] at 1/4,

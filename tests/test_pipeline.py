@@ -310,30 +310,16 @@ def test_encoder_reuse(pipe, cond1):
     )
     xT = mk(F, LAT, LAT, 4)
 
-    def run(interval, cache):
+    def run(interval):
         return np.asarray(core.pnp_composite_core(
             pipe._unet_apply, ddim, pipe.params["unet"], xT, condN, sched,
             jnp.asarray(masks_soft), pyr, pyr,
             num_inference_steps=N_STEPS, guidance_scale=3.0,
-            encoder_reuse_interval=interval, init_encoder_cache=cache,
+            encoder_reuse_interval=interval,
         ))
 
-    exact = run(1, None)
-
-    def cache_fn():
-        z = jnp.zeros((n_obj + 3, F, LAT, LAT, 4))
-        _, c = pipe.unet.apply(
-            pipe.params["unet"], sample=z, timestep=jnp.zeros((), jnp.int32),
-            fps=condN.fps, image_latents_first=condN.image_latents_first,
-            image_latents=condN.image_latents,
-            image_embeddings=condN.image_embeddings,
-            encoder_hidden_states=condN.encoder_hidden_states,
-            return_encoder=True)
-        return c
-
-    shapes = jax.eval_shape(cache_fn)
-    cache0 = jax.tree.map(lambda c: jnp.zeros(c.shape, c.dtype), shapes)
-    approx = run(2, cache0)
+    exact = run(1)
+    approx = run(2)
     assert approx.shape == exact.shape
     assert np.isfinite(approx).all()
     # the approximation must differ (it skips encoder steps) but remain
@@ -503,39 +489,22 @@ def test_composite_two_pass_with_encoder_reuse(pipe, cond1):
     )
     xT = mk(F, LAT, LAT, 4)
 
-    def cache_zeros(nb):
-        def fn():
-            z = jnp.zeros((nb, F, LAT, LAT, 4))
-            _, c = pipe.unet.apply(
-                pipe.params["unet"], sample=z, timestep=jnp.zeros((), jnp.int32),
-                fps=condN.fps[:nb],
-                image_latents_first=condN.image_latents_first[:nb],
-                image_latents=condN.image_latents[:nb],
-                image_embeddings=condN.image_embeddings[:nb],
-                encoder_hidden_states=condN.encoder_hidden_states[:nb],
-                return_encoder=True)
-            return c
-
-        shapes = jax.eval_shape(fn)
-        return jax.tree.map(lambda c: jnp.zeros(c.shape, c.dtype), shapes)
-
-    def run(two_pass, interval, cache):
-        # disable_jit: the scan body here holds FOUR UNet graphs (lax.cond
-        # fresh/cached x capture/edit); compiling it as one XLA:CPU program
-        # crashes this box's compiler after ~15 big compiles in-process.
-        # Eager execution checks the same math without the monster compile.
-        with jax.disable_jit():
-            return np.asarray(core.pnp_composite_core(
-                pipe._unet_apply, ddim, pipe.params["unet"], xT, condN, sched,
+    def run(two_pass, interval):
+        # compiled end-to-end: the blockwise fresh/cached split is static
+        # (no lax.cond-of-scan — the structure that used to crash XLA:CPU),
+        # so the production graph compiles in CI too
+        return np.asarray(jax.jit(
+            lambda params, lat: core.pnp_composite_core(
+                pipe._unet_apply, ddim, params, lat, condN, sched,
                 jnp.asarray(masks_soft), pyr, pyr,
                 num_inference_steps=N_STEPS, guidance_scale=3.0,
                 random_noise_ratio=0.3, two_pass=two_pass,
-                encoder_reuse_interval=interval, init_encoder_cache=cache,
-            ))
+                encoder_reuse_interval=interval,
+            ))(pipe.params["unet"], xT))
 
-    fused_reuse = run(False, 2, cache_zeros(n_obj + 3))
-    two_reuse = run(True, 2, (cache_zeros(n_obj + 1), cache_zeros(2)))
-    exact = run(False, 1, None)
+    fused_reuse = run(False, 2)
+    two_reuse = run(True, 2)
+    exact = run(False, 1)
     np.testing.assert_allclose(two_reuse, fused_reuse, atol=5e-4)
     # reuse actually approximates (differs from exact) yet stays correlated
     assert np.abs(fused_reuse - exact).max() > 1e-6
@@ -580,16 +549,16 @@ def test_composite_stream_capture_equals_fused(pipe, cond1):
     xT = mk(F, LAT, LAT, 4)
 
     def run(two_pass, inject_background, cw):
-        # disable_jit for the same reason as the reuse test above: the
-        # branch-scan-in-step-scan program crashes XLA:CPU on this box.
-        with jax.disable_jit():
-            return np.asarray(core.pnp_composite_core(
-                pipe._unet_apply, ddim, pipe.params["unet"], xT, condN, sched,
+        # compiled end-to-end (the historical XLA:CPU crash was the
+        # mmap-exhaustion issue conftest now mitigates via max_map_count)
+        return np.asarray(jax.jit(
+            lambda params, lat: core.pnp_composite_core(
+                pipe._unet_apply, ddim, params, lat, condN, sched,
                 jnp.asarray(masks_soft), pyr, pyr,
                 num_inference_steps=N_STEPS, guidance_scale=3.0,
                 random_noise_ratio=0.3, two_pass=two_pass,
                 inject_background=inject_background, capture_weights=cw,
-            ))
+            ))(pipe.params["unet"], xT))
 
     cw_true = pnp_lib.build_capture_weights(pyr, pyr, inject_background=True)
     np.testing.assert_allclose(
@@ -684,8 +653,7 @@ def test_composite_pab_interval(pipe, cond1):
             timesteps=sched.timesteps[:n_steps_used])
         kw = {}
         if pab_interval > 1:
-            kw = dict(pab_interval=pab_interval,
-                      init_attn_cache=pipe._attn_cache_zeros(B, F, LAT, LAT))
+            kw = dict(pab_interval=pab_interval)
         return np.asarray(core.pnp_composite_core(
             pipe._unet_apply, ddim, pipe.params["unet"], xT, cond, s,
             jnp.asarray(masks), pyr, pyr,

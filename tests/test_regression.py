@@ -66,7 +66,7 @@ def test_jit_vs_eager_consistency(rng):
     """Tiny transformer block: jit trace and eager dispatch must agree."""
     from mvoc_tpu.models.layers import BasicTransformerBlock
 
-    block = BasicTransformerBlock(dim=16, heads=2, dim_head=8, cross_attention_dim=16)
+    block = BasicTransformerBlock(dim=16, heads=2, dim_head=8)
     x = jnp.asarray(rng.standard_normal((2, 9, 16), dtype=np.float32))
     ctx = jnp.asarray(rng.standard_normal((2, 5, 16), dtype=np.float32))
     params = block.init(jax.random.key(0), x, ctx)

@@ -65,8 +65,15 @@ def mfu_fields(compiled_costs, steps_per_sec):
 
 def cost_flops(jitted, *args, **kwargs):
     """FLOPs of one call of a jitted function per XLA cost analysis
-    (returns 0.0 when the backend doesn't expose it)."""
+    (returns 0.0 when the backend doesn't expose it).  Lowers on
+    ShapeDtypeStructs so donated (deleted) arrays are fine as args."""
+    import jax
+
     try:
+        spec = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x, (args, kwargs))
+        args, kwargs = spec
         cost = jitted.lower(*args, **kwargs).compile().cost_analysis()
         if isinstance(cost, list):  # older jax returns [dict]
             cost = cost[0]
@@ -163,10 +170,13 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
                 masks=pyr, masks_soft=pyr,
                 gate_spatial=gate, gate_temporal=gate, gate_conv=gate,
             )
+            # exclude "sample" (always overridden by the carried arg):
+            # tracing a slice of the closed-over inputs["sample"] would bake
+            # the same buffer the caller donates -> "Array has been deleted"
             src = {k: (v[: n_obj + 1] if hasattr(v, "shape") and v.shape[:1] == (B,) else v)
-                   for k, v in inputs.items()}
+                   for k, v in inputs.items() if k != "sample"}
             edit = {k: (v[n_obj + 1:] if hasattr(v, "shape") and v.shape[:1] == (B,) else v)
-                    for k, v in inputs.items()}
+                    for k, v in inputs.items() if k != "sample"}
             src_kw = dict(pnp=pnp_state, pnp_capture=True, mutable=["pnp_features"])
             if cached:
                 src_cache, edit_cache = caches
@@ -205,9 +215,12 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
                 return new_sample, new_latents
             return new_sample, new_latents, (src_cache, edit_cache)
         if cached:
-            return jax.jit(step)
+            # donate the sample/cache buffers: the loop rebinds them every
+            # call, so in-place reuse halves live HBM (the PAB cache alone
+            # is ~4 GB at 512px batch-5)
+            return jax.jit(step, donate_argnums=(1, 4))
         return jax.jit(lambda params, sample, latents, gate: step(
-            params, sample, latents, gate))
+            params, sample, latents, gate), donate_argnums=(1,))
 
     def make_stream_step(cached: bool = False, want_cache: bool = False):
         """two_pass='stream': scan capture over source branches (batch 1) —
@@ -223,10 +236,13 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
                 masks=pyr, masks_soft=pyr,
                 gate_spatial=gate, gate_temporal=gate, gate_conv=gate,
             )
+            # exclude "sample" (always overridden by the carried arg):
+            # tracing a slice of the closed-over inputs["sample"] would bake
+            # the same buffer the caller donates -> "Array has been deleted"
             src = {k: (v[: n_obj + 1] if hasattr(v, "shape") and v.shape[:1] == (B,) else v)
-                   for k, v in inputs.items()}
+                   for k, v in inputs.items() if k != "sample"}
             edit = {k: (v[n_obj + 1:] if hasattr(v, "shape") and v.shape[:1] == (B,) else v)
-                    for k, v in inputs.items()}
+                    for k, v in inputs.items() if k != "sample"}
 
             def branch_apply(inp_b, cond_b, wgt_b, cache_b=None, ret=False):
                 pnp_b = dc.replace(pnp_state, capture_weight=wgt_b)
@@ -311,9 +327,12 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
                 return new_sample, new_latents
             return new_sample, new_latents, (src_caches, edit_cache)
         if cached:
-            return jax.jit(step)
+            # donate the sample/cache buffers: the loop rebinds them every
+            # call, so in-place reuse halves live HBM (the PAB cache alone
+            # is ~4 GB at 512px batch-5)
+            return jax.jit(step, donate_argnums=(1, 4))
         return jax.jit(lambda params, sample, latents, gate: step(
-            params, sample, latents, gate))
+            params, sample, latents, gate), donate_argnums=(1,))
 
     def make_pab_step(cached: bool = False):
         """PAB attention-output broadcast on the fused path: fresh steps
@@ -341,9 +360,12 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
                  new_latents[None].astype(dtype)], axis=0)
             return new_sample, new_latents, new_cache
         if cached:
-            return jax.jit(step)
+            # donate the sample/cache buffers: the loop rebinds them every
+            # call, so in-place reuse halves live HBM (the PAB cache alone
+            # is ~4 GB at 512px batch-5)
+            return jax.jit(step, donate_argnums=(1, 4))
         return jax.jit(lambda params, sample, latents, gate: step(
-            params, sample, latents, gate))
+            params, sample, latents, gate), donate_argnums=(1,))
 
     def make_step(cached: bool, want_cache: bool = True):
         def step(params, sample, latents, gate, cache=None):
@@ -369,12 +391,12 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
                  new_latents[None].astype(dtype)], axis=0)
             return new_sample, new_latents, new_cache
         if cached:
-            return jax.jit(step)
+            return jax.jit(step, donate_argnums=(1, 4))
         # the fresh variant must not take the cache as a traced arg (its
         # structure changes None->arrays between warmup and loop, forcing a
         # recompile inside the timed region)
         return jax.jit(lambda params, sample, latents, gate: step(
-            params, sample, latents, gate))
+            params, sample, latents, gate), donate_argnums=(1,))
 
     latents = inputs["sample"][0].astype(jnp.float32)
     return (make_step, make_two_pass_step, make_stream_step, make_pab_step, params,
@@ -723,8 +745,9 @@ def main():
             s, l = st(params, sample, latents, gate)
         jax.block_until_ready((s, l))
         if st_cached is not None:
-            s2, l2, _ = st_cached(params, s, l, gate, c)
-            jax.block_until_ready((s2, l2))
+            # rebind: s/c were donated into the call
+            s, l, c = st_cached(params, s, l, gate, c)
+            jax.block_until_ready((s, l))
         import time as _time
 
         t0 = _time.perf_counter()
@@ -770,8 +793,9 @@ def main():
             s, l = tp(params, sample, latents, gate)
         jax.block_until_ready((s, l))
         if tp_cached is not None:
-            s2, l2, _ = tp_cached(params, s, l, gate, c)
-            jax.block_until_ready((s2, l2))
+            # rebind: s/c were donated into the call
+            s, l, c = tp_cached(params, s, l, gate, c)
+            jax.block_until_ready((s, l))
         import time as _time
 
         t0 = _time.perf_counter()
@@ -813,8 +837,9 @@ def main():
         pab_cached = make_pab(cached=True)
         s, l, c = pab_fresh(params, sample, latents, gate)
         jax.block_until_ready((s, l))
-        s2, l2, _ = pab_cached(params, s, l, gate, c)
-        jax.block_until_ready((s2, l2))
+        # rebind: s/c were donated into the call
+        s, l, c = pab_cached(params, s, l, gate, c)
+        jax.block_until_ready((s, l))
         t0 = time.perf_counter()
         for i in range(iters):
             if i % args.pab != 0:
@@ -848,8 +873,9 @@ def main():
     s, l, c = fresh_step(params, sample, latents, gate)
     jax.block_until_ready((s, l))
     if cached_step is not None:
-        s2, l2, _ = cached_step(params, s, l, gate, c)
-        jax.block_until_ready((s2, l2))
+        # rebind: s/c were donated into the call
+        s, l, c = cached_step(params, s, l, gate, c)
+        jax.block_until_ready((s, l))
 
     t0 = time.perf_counter()
     for i in range(iters):

@@ -39,18 +39,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_k: int, scale
     q_ref: [block_q, d]; k_ref/v_ref: [padded_sk, d] (VMEM-resident);
     o_ref: [block_q, d].
     """
-    q = q_ref[...].astype(jnp.float32) * scale
+    # matmuls run on the INPUT dtype (bf16 on TPU -> full MXU rate) with
+    # fp32 accumulation via preferred_element_type; upcasting q/k/v to fp32
+    # first would drop the MXU to its fp32 rate (~4x slower).  Softmax
+    # statistics and the output accumulator stay fp32.
+    q = q_ref[...]
     block_q, d = q.shape
     padded_sk = k_ref.shape[0]
     n_kb = padded_sk // block_k
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[pl.ds(i * block_k, block_k), :]
+        v = v_ref[pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_q, block_k]
+        ) * scale  # [block_q, block_k] fp32
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
         s = jnp.where(col < seq_k, s, NEG_INF)
 
@@ -59,7 +63,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_k: int, scale
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)

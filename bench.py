@@ -406,7 +406,8 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
 def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             n_frames: int = 16, invert_steps: int = 500,
             compose_steps: int = 50, stream: bool = True,
-            mesh_devices: int = 0, batch: bool = False, reuse: int = 1):
+            mesh_devices: int = 0, batch: bool = False, reuse: int = 1,
+            reuse_depth=None):
     """End-to-end MVOC workflow wall-clock: DDIM-invert the background +
     2 object videos (500 steps each, cfg=1, like the reference's stage 1 —
     reference: group_inversion/template.yaml:30-34) then run the 50-step
@@ -501,7 +502,12 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             p))(params)
     ddim = DDIM(SchedulerConfig())
-    apply = lambda p, **kw: model.apply(p, **kw)
+    if reuse_depth:
+        # partial-depth encoder reuse (inert unless caching kwargs are used)
+        apply = lambda p, **kw: model.apply(
+            p, **kw, encoder_reuse_depth=int(reuse_depth))
+    else:
+        apply = lambda p, **kw: model.apply(p, **kw)
 
     # --- stage 1: 3 inversions (bg + 2 objects) -------------------------
     # the scan runs in CHUNKS of bounded wall-time per XLA execution: a
@@ -661,13 +667,16 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
     t_compose = _time.perf_counter() - t0
 
     total = t_invert + t_compose
-    shape_tag = "tiny_virtual" if virtual else "16f_512px"
+    shape_tag = ("tiny_virtual" if virtual
+                 else f"{n_frames}f_720p" if (height_lat, width_lat) == (90, 160)
+                 else f"{n_frames}f_512px")
     print(json.dumps({
         "metric": "e2e_invert3x%d_compose%d_%s_wall_seconds"
         % (invert_steps, compose_steps, shape_tag)
         + ("_mesh%d" % mesh_devices if mesh_devices else "")
         + ("_batch" if (batch or mesh_inv is not None) else "")
-        + ("_reuse%d" % reuse if reuse > 1 else ""),
+        + ("_reuse%d" % reuse if reuse > 1 else "")
+        + ("d%d" % reuse_depth if reuse > 1 and reuse_depth else ""),
         "value": round(total, 2),
         "unit": "s",
         "vs_baseline": None,
@@ -708,6 +717,9 @@ def main():
                     "fewer real devices exist")
     ap.add_argument("--batch", action="store_true",
                     help="(e2e) run the 3 inversions as one batched scan")
+    ap.add_argument("--res", type=int, choices=[512, 720], default=512,
+                    help="(e2e) pixel resolution: 512 -> 64x64 latents, "
+                    "720 -> the reference's 90x160 (1280x720)")
     args = ap.parse_args()
 
     import jax
@@ -723,8 +735,11 @@ def main():
         args.natural = True
 
     if args.preset == "e2e":
+        hl, wl = (90, 160) if args.res == 720 else (64, 64)
         run_e2e(natural=args.natural, stream=not args.two_pass,
-                mesh_devices=args.mesh, batch=args.batch, reuse=args.reuse)
+                height_lat=hl, width_lat=wl,
+                mesh_devices=args.mesh, batch=args.batch, reuse=args.reuse,
+                reuse_depth=args.reuse_depth)
         return
 
     iters = args.iters or (10 if args.preset.startswith("full")

@@ -42,11 +42,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_k: int, scale
     # matmuls run on the INPUT dtype (bf16 on TPU -> full MXU rate) with
     # fp32 accumulation via preferred_element_type; upcasting q/k/v to fp32
     # first would drop the MXU to its fp32 rate (~4x slower).  Softmax
-    # statistics and the output accumulator stay fp32.
+    # statistics and the output accumulator stay fp32.  The 1/sqrt(d) scale
+    # is folded into q ONCE (fp32 multiply, one rounding back to the input
+    # dtype — standard flash practice) instead of scaling every
+    # [block_q, block_k] logits tile on the VPU.
     q = q_ref[...]
     block_q, d = q.shape
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     padded_sk = k_ref.shape[0]
     n_kb = padded_sk // block_k
+    # K-padding mask only when the sequence doesn't fill the padded extent;
+    # the common divisible case skips the per-tile iota/where entirely.
+    need_mask = seq_k != padded_sk
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -54,9 +61,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_k: int, scale
         v = v_ref[pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [block_q, block_k] fp32
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
-        s = jnp.where(col < seq_k, s, NEG_INF)
+        )  # [block_q, block_k] fp32
+        if need_mask:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
+            s = jnp.where(col < seq_k, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -135,6 +143,7 @@ def flash_attention(
         out_shape=jax.ShapeDtypeStruct((b * h, padded_sq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1024 * 1024 * 96),
+            dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d,
@@ -144,6 +153,127 @@ def flash_attention(
         interpret=interpret,
     )(qf, kf, vf)
     return out[:, :sq].reshape(b, h, sq, d)
+
+
+def _frame_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+    """Per-pixel frame attention, merged head-group rows.
+
+    q/k/v/o_ref: [s_blk, M, D] (M = g*F merged head-group x frame rows);
+    bias_ref: [M, M] fp32 additive block-diagonal (+band) bias.  For each
+    pixel s the [M, M] logits tile lives entirely in VMEM: matmul -> bias ->
+    softmax -> pv without a single HBM round-trip — the XLA lowering of the
+    same math materializes the logits between softmax stages, which is the
+    dominant cost of temporal attention at 512px (measured ~0.06 s/step in
+    max-subtract traffic alone)."""
+    bias = bias_ref[...]
+    q = q_ref[...]  # [s_blk, M, D]
+    k = k_ref[...]
+    v = v_ref[...]
+    # batched over the pixel axis: [s, M, D] x [s, N, D] -> [s, M, N]; the
+    # fp32 logits block stays in VMEM through softmax and the pv matmul
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale + bias
+    m = jnp.max(logits, axis=2, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=2, keepdims=True)
+    o_ref[...] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("f", "heads", "interpret",
+                                             "sf_layout"))
+def frame_attention(
+    q: jax.Array,  # [B, F, S, H*D] frame-major; or [S, F, H*D] (sf_layout)
+    k: jax.Array,
+    v: jax.Array,
+    f: int,
+    heads: int,
+    bias: jax.Array,  # [M, M] fp32 additive (block-diag x band), M = g*F
+    sf_layout: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Self-attention across the F frame axis independently per pixel s —
+    the temporal-attention hot op (reference reaches it through torch SDPA
+    on [B*H*W, F, C] tokens, pnp_utils.py:862-864).
+
+    Heads are merged in groups of g (g*F <= 128, see layers._head_group_size)
+    so the per-pixel matmuls fill the 128x128 MXU; the block-diagonal bias
+    keeps per-head softmax exact.  Grid: (B*X groups, S blocks); everything
+    per pixel stays in VMEM."""
+    if sf_layout:
+        s, f_, inner = q.shape
+        b = 1
+    else:
+        b, f_, s, inner = q.shape
+    assert f_ == f
+    d = inner // heads
+    from mvoc_tpu.models.layers import _head_group_size  # shared policy
+
+    g = _head_group_size(heads, f)
+    x = heads // g
+    m = g * f
+    assert bias.shape == (m, m)
+    scale = 1.0 / math.sqrt(d)
+
+    if sf_layout:
+        def pack(t):
+            # [S, F, X, G, D] -> [X, S, G, F, D] -> [X, S, M, D]
+            t = t.reshape(s, f, x, g, d)
+            return t.transpose(2, 0, 3, 1, 4).reshape(x, s, m, d)
+    else:
+        def pack(t):
+            t = t.reshape(b, f, s, x, g, d)
+            return t.transpose(0, 3, 2, 4, 1, 5).reshape(b * x, s, m, d)
+
+    qm, km, vm = pack(q), pack(k), pack(v)
+    # fp32 logits block [s_blk, M, M] must fit VMEM alongside q/k/v tiles
+    s_blk = _pick_block(s, 64, multiple=8)
+    if s % s_blk:
+        pad = -s % s_blk
+        qm = jnp.pad(qm, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        km = jnp.pad(km, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        vm = jnp.pad(vm, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    s_pad = qm.shape[1]
+
+    grid = (b * x, s_pad // s_blk)
+    spec = pl.BlockSpec((None, s_blk, m, d), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_frame_kernel, scale=scale),
+        grid=grid,
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((m, m), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b * x, s_pad, m, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 96),
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * x * s * m * m * d,
+            bytes_accessed=3 * qm.size * q.dtype.itemsize,
+            transcendentals=b * x * s * m * m,
+        ),
+        interpret=interpret,
+    )(qm, km, vm, bias.astype(jnp.float32))
+    if sf_layout:
+        out = out[:, :s].reshape(x, s, g, f, d).transpose(1, 3, 0, 2, 4)
+        return out.reshape(s, f, inner)
+    out = out[:, :s].reshape(b, x, s, g, f, d).transpose(0, 4, 2, 1, 3, 5)
+    return out.reshape(b, f, s, inner)
+
+
+def use_frame_kernel() -> bool:
+    """Dispatch policy for the Pallas frame-attention kernel (TPU only)."""
+    if os.environ.get("MVOC_DISABLE_FLASH"):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
 
 
 def use_flash(seq_q: int, seq_k: int, d: int) -> bool:

@@ -167,3 +167,94 @@ def test_windowed_temporal_attention_locality(rng):
     o2 = np.asarray(layers.sdpa(jnp.asarray(q), jnp.asarray(kv2), jnp.asarray(kv2), 2, mask=band))
     assert np.abs(o2[0, :2] - o1[0, :2]).max() > 1e-3  # frames 0-1 see it
     np.testing.assert_array_equal(o2[0, 2:], o1[0, 2:])  # frames 2+ cannot
+
+
+def _naive_frame_attention(q, k, v, heads, mask=None):
+    """Per-head reference for sdpa_frames: [B, F, S, H*D] frame-axis attention."""
+    b, f, s, inner = q.shape
+    d = inner // heads
+    qh = q.reshape(b, f, s, heads, d)
+    kh = k.reshape(b, f, s, heads, d)
+    vh = v.reshape(b, f, s, heads, d)
+    logits = np.einsum("bfshd,bgshd->bhfgs", qh, kh) / np.sqrt(d)
+    if mask is not None:
+        logits = np.where(np.asarray(mask)[None, None, :, :, None], logits, -1e30)
+    logits = logits - logits.max(axis=3, keepdims=True)
+    p = np.exp(logits)
+    p = p / p.sum(axis=3, keepdims=True)
+    out = np.einsum("bhfgs,bgshd->bfshd", p, vh)
+    return out.reshape(b, f, s, inner)
+
+
+@pytest.mark.parametrize("heads,f", [(5, 16), (10, 16), (2, 8), (4, 64)])
+def test_frame_attention_kernel_matches_naive(rng, heads, f):
+    """The Pallas merged-head frame-attention kernel (block-diagonal bias,
+    interpret mode on CPU) is exact per-head attention — pinned against a
+    naive per-head numpy reference at the real UNet head counts."""
+    from mvoc_tpu.ops import attention as flash
+
+    d, s = 8, 24
+    q = rng.standard_normal((2, f, s, heads * d), dtype=np.float32)
+    k = rng.standard_normal((2, f, s, heads * d), dtype=np.float32)
+    v = rng.standard_normal((2, f, s, heads * d), dtype=np.float32)
+    g = layers._head_group_size(heads, f)
+    assert g > 1  # the merged kernel path applies at these geometries
+    out = flash.frame_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), f, heads,
+        layers._block_diag_bias(f, g, None), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), _naive_frame_attention(q, k, v, heads), atol=2e-5)
+
+
+def test_frame_attention_kernel_windowed(rng):
+    """Kernel with a [F, F] band mask folded into the bias == naive
+    reference with the same mask (the long-video windowed configuration)."""
+    from mvoc_tpu.ops import attention as flash
+
+    heads, f, d, s = 4, 16, 8, 16
+    idx = np.arange(f)
+    band = jnp.asarray(np.abs(idx[:, None] - idx[None, :]) <= 2)
+    q = rng.standard_normal((1, f, s, heads * d), dtype=np.float32)
+    k = rng.standard_normal((1, f, s, heads * d), dtype=np.float32)
+    v = rng.standard_normal((1, f, s, heads * d), dtype=np.float32)
+    g = layers._head_group_size(heads, f)
+    out = flash.frame_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), f, heads,
+        layers._block_diag_bias(f, g, band), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), _naive_frame_attention(q, k, v, heads, mask=band),
+        atol=2e-5)
+
+
+def test_frame_attention_kernel_sf_layout(rng):
+    """sf_layout ([S, F, C] rows — the standard temporal token layout) ==
+    torch SDPA per row."""
+    from mvoc_tpu.ops import attention as flash
+
+    heads, f, d = 10, 16, 8
+    q = rng.standard_normal((24, f, heads * d), dtype=np.float32)
+    k = rng.standard_normal((24, f, heads * d), dtype=np.float32)
+    v = rng.standard_normal((24, f, heads * d), dtype=np.float32)
+    g = layers._head_group_size(heads, f)
+    out = flash.frame_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), f, heads,
+        layers._block_diag_bias(f, g, None), sf_layout=True, interpret=True)
+
+    def split(x):
+        b, s, c = x.shape
+        return torch.from_numpy(x).reshape(b, s, heads, d).transpose(1, 2)
+
+    ref = F.scaled_dot_product_attention(split(q), split(k), split(v))
+    ref = ref.transpose(1, 2).reshape(24, f, heads * d).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_sdpa_frames_matches_naive(rng):
+    """The XLA sdpa_frames fallback (CPU path) == naive per-head reference."""
+    heads, f, d, s = 5, 16, 8, 6
+    q = rng.standard_normal((2, f, s, heads * d), dtype=np.float32)
+    k = rng.standard_normal((2, f, s, heads * d), dtype=np.float32)
+    v = rng.standard_normal((2, f, s, heads * d), dtype=np.float32)
+    out = layers.sdpa_frames(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads)
+    np.testing.assert_allclose(
+        np.asarray(out), _naive_frame_attention(q, k, v, heads), atol=2e-5)

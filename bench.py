@@ -96,8 +96,10 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
     from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet, UNetConfig
     from mvoc_tpu.ops.ddim import DDIM, SchedulerConfig
 
+    ff_env = os.environ.get("MVOC_FF_CHUNK")
+    ff_kw = {"ff_chunk_rows": int(ff_env)} if ff_env is not None else {}
     if preset == "full":
-        cfg = UNetConfig(temporal_natural_layout=natural)
+        cfg = UNetConfig(temporal_natural_layout=natural, **ff_kw)
         F, H, W = 16, 64, 64  # 512px @ /8
         dtype = jnp.bfloat16
     elif preset == "full720":
@@ -222,11 +224,14 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
         return jax.jit(lambda params, sample, latents, gate: step(
             params, sample, latents, gate), donate_argnums=(1,))
 
-    def make_stream_step(cached: bool = False, want_cache: bool = False):
+    def make_stream_step(cached: bool = False, want_cache: bool = False,
+                         cap_fresh: bool = False, cap_cached: bool = False):
         """two_pass='stream': scan capture over source branches (batch 1) —
         peak activation memory of ONE branch; consume on the 2 edit
         branches (see pipeline/core.py stream path).  cached/want_cache add
-        encoder reuse with per-branch batch-1 caches."""
+        encoder reuse with per-branch batch-1 caches.  cap_fresh/cap_cached
+        measure capture reuse: the capture pass runs only on fresh steps
+        and its features broadcast in between (core capture_reuse_interval)."""
         import dataclasses as dc
 
         cw = pnp_lib.build_capture_weights(pyr, pyr, inject_background=True)
@@ -275,7 +280,9 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
             feats0 = jax.tree.map(
                 lambda sh: jnp.zeros(sh.shape, sh.dtype), feats_shapes)
 
-            if cached or want_cache:
+            if cap_cached:
+                feats = caches  # broadcast the cached source features
+            elif cached or want_cache:
                 src_caches, edit_cache = caches if cached else (None, None)
 
                 if cached:
@@ -323,9 +330,19 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
             new_sample = jnp.concatenate(
                 [sample[: n_obj + 1], new_latents[None].astype(dtype),
                  new_latents[None].astype(dtype)], axis=0)
-            if not (cached or want_cache):
+            if cap_fresh:
+                return new_sample, new_latents, feats
+            if not (cached or want_cache or cap_cached):
+                return new_sample, new_latents
+            if cap_cached:
                 return new_sample, new_latents
             return new_sample, new_latents, (src_caches, edit_cache)
+        if cap_cached:
+            # feats cache is read every cached step — NOT donated
+            return jax.jit(step, donate_argnums=(1,))
+        if cap_fresh:
+            return jax.jit(lambda params, sample, latents, gate: step(
+                params, sample, latents, gate), donate_argnums=(1,))
         if cached:
             # donate the sample/cache buffers: the loop rebinds them every
             # call, so in-place reuse halves live HBM (the PAB cache alone
@@ -708,6 +725,10 @@ def main():
     ap.add_argument("--reuse_depth", type=int, default=None,
                     help="partial-depth encoder reuse: cache only down "
                     "blocks K.. + mid (smaller cache; fits 720p)")
+    ap.add_argument("--capture_reuse", type=int, default=1,
+                    help="(--stream) broadcast captured PnP source features "
+                    "for k-1 of every k steps — skips the N+1 capture "
+                    "forwards on cached steps (approximate; 1 = off/exact)")
     ap.add_argument("--pab", type=int, default=1,
                     help="PAB attention-output broadcast interval on the "
                     "fused path (approximate; 1 = off/exact)")
@@ -724,6 +745,12 @@ def main():
 
     import jax
 
+    if os.environ.get("MVOC_BENCH_CPU"):
+        # jax is preimported on the axon TPU platform in this image, so the
+        # JAX_PLATFORMS env var is too late — switch via config before any
+        # backend use (CI / TPU-outage fallback)
+        jax.config.update("jax_platforms", "cpu")
+
     if (args.preset == "full" and not args.two_pass and not args.stream
             and not args.natural and args.reuse == 1 and args.pab == 1
             and not os.environ.get("MVOC_BENCH_FUSED")):
@@ -735,6 +762,10 @@ def main():
         args.natural = True
 
     if args.preset == "e2e":
+        # natural (frame-major) temporal layout is exact and measured faster
+        # in every configuration — default on unless other flags were given
+        if not args.two_pass and not os.environ.get("MVOC_BENCH_STANDARD"):
+            args.natural = True
         hl, wl = (90, 160) if args.res == 720 else (64, 64)
         run_e2e(natural=args.natural, stream=not args.two_pass,
                 height_lat=hl, width_lat=wl,
@@ -749,6 +780,42 @@ def main():
     import jax.numpy as jnp
 
     gate = jnp.asarray(True)  # traced input: injection work cannot be DCE'd
+    if args.stream and args.capture_reuse > 1:
+        assert args.reuse == 1 and args.pab == 1, (
+            "--capture_reuse composes with --stream alone")
+        import time as _time
+
+        k = args.capture_reuse
+        st_fresh = make_stream(cap_fresh=True)
+        st_cached = make_stream(cap_cached=True)
+        s, l, c = st_fresh(params, sample, latents, gate)
+        jax.block_until_ready((s, l))
+        s, l = st_cached(params, s, l, gate, c)
+        jax.block_until_ready((s, l))
+        t0 = _time.perf_counter()
+        for i in range(iters):
+            if i % k != 0:
+                s, l = st_cached(params, s, l, gate, c)
+            else:
+                s, l, c = st_fresh(params, s, l, gate)
+        jax.block_until_ready((s, l))
+        dt = _time.perf_counter() - t0
+        costs = [(cost_flops(st_fresh, params, s, l, gate), 1.0 / k),
+                 (cost_flops(st_cached, params, s, l, gate, c), (k - 1.0) / k)]
+        print(json.dumps({
+            "metric": {
+                "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
+                "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
+                "long64": "composite_denoise_steps_per_sec_per_chip_64f_512px_window16",
+                "smoke": "composite_denoise_steps_per_sec_smoke",
+            }[args.preset] + f"_stream_capreuse{k}"
+            + ("_natural" if args.natural else ""),
+            "value": round(iters / dt, 4),
+            "unit": "steps/s",
+            "vs_baseline": None,
+            **mfu_fields(costs, iters / dt),
+        }))
+        return
     if args.stream:
         want_cache = args.reuse > 1
         st = make_stream(cached=False, want_cache=want_cache)

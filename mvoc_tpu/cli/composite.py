@@ -109,6 +109,10 @@ def run_entry(pipe, config) -> None:
         # mvoc_tpu extension: PAB attention-output broadcast (approximate;
         # 1 = off/exact)
         pab_interval=config.get("pab_interval", 1),
+        # mvoc_tpu extension: broadcast captured PnP source features across
+        # steps on two_pass/stream — skips the N+1 capture forwards on
+        # cached steps (approximate; 1 = off/exact)
+        capture_reuse_interval=config.get("capture_reuse_interval", 1),
         two_pass=config.get("two_pass", False),
         pnp_f_t=config.pnp_f_t,
         pnp_spatial_attn_t=config.pnp_spatial_attn_t,

@@ -347,6 +347,7 @@ def pnp_composite_core(
     two_pass=False,
     capture_weights=None,
     pab_interval: int = 1,
+    capture_reuse_interval: int = 1,
 ) -> jax.Array:
     """The MVOC composite sampler as one scan (reference:
     pipeline_i2vgen_xl.py:1635-1734 + pnp_utils injection sites).
@@ -380,6 +381,16 @@ def pnp_composite_core(
     (arXiv 2408.12588) on the fused path: up-block attention outputs are
     recomputed every k-th step and broadcast in between (approximate;
     interval 1 = off/exact).
+
+    capture_reuse_interval > 1 broadcasts the captured PnP SOURCE FEATURES
+    across steps on the two-pass/stream paths: the capture pass (N+1
+    source-branch forwards — the majority of a composite step's compute)
+    runs only every k-th step and its pre-composited site features are
+    injected unchanged in between, while the edit branches, noise fusion
+    and DDIM update stay fresh every step.  The same broadcast principle
+    as PAB applied at the PnP-feature level (source features drift slowly
+    across adjacent t, like attention outputs).  Approximate; interval 1 =
+    off/exact.
     """
     n_obj = masks_soft.shape[0]
     mask_b = masks_soft[..., None]  # [N, F, h, w, 1]
@@ -391,6 +402,10 @@ def pnp_composite_core(
     if pab:
         assert not (two_pass or stream or reuse), (
             "pab_interval composes with the fused path only")
+    cap_reuse = capture_reuse_interval > 1
+    if cap_reuse:
+        assert (two_pass or stream) and not reuse and not pab, (
+            "capture_reuse_interval composes with two_pass/stream only")
 
     def _slice_cond(c, lo, hi):
         return UNetConditioning(
@@ -485,7 +500,9 @@ def pnp_composite_core(
                 lambda sh: jnp.zeros(sh.shape, sh.dtype), feats_shapes)
 
             src_caches_out = None
-            if mode == "fresh":
+            if mode == "cap_cached":
+                feats = cache  # broadcast the cached source features
+            elif mode == "fresh":
                 def cap_body(feats_acc, xs_b):
                     cond_b, inp_b, wgt_b = xs_b
                     f_b, enc = branch_apply(cond_b, inp_b, wgt_b,
@@ -537,6 +554,8 @@ def pnp_composite_core(
                                       cached_encoder=cache[1])
             else:
                 eps_edit = unet_apply(unet_params, **edit_kwargs)
+                if mode == "cap_fresh":
+                    new_cache = feats
             eps_g = eps_edit[0] + guidance_scale * (eps_edit[1] - eps_edit[0])
             return ddim.step(eps_g, t, latents, num_inference_steps), new_cache
 
@@ -559,18 +578,21 @@ def pnp_composite_core(
                 pnp_capture=True,
             )
             src_cache_out = None
-            if mode == "fresh":
-                (_, src_cache_out), variables = unet_apply(
-                    unet_params, **src_kwargs, return_encoder=True,
-                    mutable=["pnp_features"])
-            elif mode == "cached":
-                _, variables = unet_apply(
-                    unet_params, **src_kwargs, cached_encoder=cache[0],
-                    mutable=["pnp_features"])
+            if mode == "cap_cached":
+                feats = cache  # broadcast the cached source features
             else:
-                _, variables = unet_apply(
-                    unet_params, **src_kwargs, mutable=["pnp_features"])
-            feats = {k: v[0] for k, v in variables["pnp_features"].items()}
+                if mode == "fresh":
+                    (_, src_cache_out), variables = unet_apply(
+                        unet_params, **src_kwargs, return_encoder=True,
+                        mutable=["pnp_features"])
+                elif mode == "cached":
+                    _, variables = unet_apply(
+                        unet_params, **src_kwargs, cached_encoder=cache[0],
+                        mutable=["pnp_features"])
+                else:
+                    _, variables = unet_apply(
+                        unet_params, **src_kwargs, mutable=["pnp_features"])
+                feats = {k: v[0] for k, v in variables["pnp_features"].items()}
 
             pnp_consume = dataclasses.replace(
                 pnp_state, mode="consume_pre", features=feats)
@@ -595,6 +617,8 @@ def pnp_composite_core(
                                       cached_encoder=cache[1])
             else:
                 eps_edit = unet_apply(unet_params, **edit_kwargs)
+                if mode == "cap_fresh":
+                    new_cache = feats
             eps_neg, eps_pos = eps_edit[0], eps_edit[1]
             eps_g = eps_neg + guidance_scale * (eps_pos - eps_neg)
             return ddim.step(eps_g, t, latents, num_inference_steps), new_cache
@@ -645,6 +669,12 @@ def pnp_composite_core(
             lambda lat, x: (lambda nxt, c: (nxt, c, None))(*step(lat, x, mode="fresh")),
             lambda lat, c, x: (step(lat, x, cache=c, mode="cached")[0], None),
             init_latents, xs, n_run, k)
+        return final
+    if cap_reuse:
+        final, _ = _blockwise_cached_scan(
+            lambda lat, x: (lambda nxt, c: (nxt, c, None))(*step(lat, x, mode="cap_fresh")),
+            lambda lat, c, x: (step(lat, x, cache=c, mode="cap_cached")[0], None),
+            init_latents, xs, n_run, capture_reuse_interval)
         return final
 
     def body(lat, x):

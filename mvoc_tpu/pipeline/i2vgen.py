@@ -696,6 +696,7 @@ class I2VGenXLPipeline:
         encoder_reuse_interval: int = 1,
         encoder_reuse_depth: Optional[int] = None,
         pab_interval: int = 1,
+        capture_reuse_interval: int = 1,
         two_pass: bool | str = False,  # False | True | "stream"
         pnp_f_t: float = 0.8,
         pnp_spatial_attn_t: float = 0.8,
@@ -843,6 +844,7 @@ class I2VGenXLPipeline:
                 two_pass=two_pass,
                 capture_weights=capture_weights,
                 pab_interval=int(pab_interval),
+                capture_reuse_interval=int(capture_reuse_interval),
             )
         )
         final = composite_fn(

@@ -258,3 +258,17 @@ def test_sdpa_frames_matches_naive(rng):
     out = layers.sdpa_frames(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads)
     np.testing.assert_allclose(
         np.asarray(out), _naive_frame_attention(q, k, v, heads), atol=2e-5)
+
+
+def test_feedforward_chunking_exact(rng, monkeypatch):
+    """Row-chunked GEGLU == unchunked (chunking engages only past the byte
+    threshold; forced small here to exercise the chunked path)."""
+    monkeypatch.setattr(layers.FeedForward, "CHUNK_BYTE_THRESHOLD", 1)
+    x = rng.standard_normal((4, 10, 8), dtype=np.float32)
+    ff_chunked = layers.FeedForward(dim=8, chunk_rows=16)
+    ff_plain = layers.FeedForward(dim=8, chunk_rows=0)
+    params = ff_plain.init(jax.random.key(0), jnp.asarray(x))
+    out_plain = ff_plain.apply(params, jnp.asarray(x))
+    out_chunked = ff_chunked.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_chunked), np.asarray(out_plain),
+                               atol=1e-6)

@@ -670,3 +670,75 @@ def test_composite_pab_interval(pipe, cond1):
     exact3 = run(1, 3)
     assert not np.allclose(pab3, exact3), (
         "pab interval 2 should actually skip attention on cached steps")
+
+
+def test_composite_capture_reuse(pipe, cond1):
+    """pnp_composite_core with capture_reuse_interval=2 on the stream path:
+    step 0 captures source features, step 1 broadcasts them (no capture
+    pass).  One step == exact; 3 steps runs, finite, and differs from exact
+    (features are genuinely reused on cached steps)."""
+    from mvoc_tpu import pnp as pnp_lib
+    from mvoc_tpu.ops.ddim import sampling_timesteps
+
+    rng = np.random.default_rng(23)
+    n_obj = 2
+    B = n_obj + 3
+    d = pipe.unet.config.cross_attention_dim
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    cond = core.UNetConditioning(
+        encoder_hidden_states=mk(B, 7, d),
+        image_latents_first=mk(B, F, LAT, LAT, 4),
+        image_latents=mk(B, F, LAT, LAT, 4),
+        image_embeddings=mk(B, F, d),
+        fps=jnp.asarray([8] * B),
+    )
+    masks = np.zeros((n_obj, F, LAT, LAT), np.float32)
+    masks[0, :, : LAT // 2] = 1.0
+    masks[1, :, :, : LAT // 2] = 1.0
+    res = [(LAT, LAT), (LAT // 2, LAT // 2), (LAT // 4, LAT // 4)]
+    pyr = {k: jnp.asarray(v)
+           for k, v in pnp_lib.build_mask_pyramid(masks, res).items()}
+    cw = pnp_lib.build_capture_weights(pyr, pyr, True)
+    S = 3
+    ts = jnp.asarray(sampling_timesteps(SchedulerConfig(), 10)[:S])
+    on = jnp.ones((S,), bool)
+    sched = core.CompositeSchedule(
+        bg_traj=mk(S, F, LAT, LAT, 4),
+        obj_traj=mk(S, n_obj, F, LAT, LAT, 4),
+        obj_fusion_lat=mk(n_obj, F, LAT, LAT, 4),
+        gate_spatial=on, gate_temporal=on, gate_conv=on,
+        fusion_mask=jnp.asarray([True, False, False]),
+        timesteps=ts,
+    )
+    ddim = DDIM(SchedulerConfig())
+    xT = mk(F, LAT, LAT, 4)
+
+    def run(cap_interval, n_steps_used):
+        import dataclasses as dc
+
+        s = dc.replace(
+            sched,
+            bg_traj=sched.bg_traj[:n_steps_used],
+            obj_traj=sched.obj_traj[:n_steps_used],
+            gate_spatial=sched.gate_spatial[:n_steps_used],
+            gate_temporal=sched.gate_temporal[:n_steps_used],
+            gate_conv=sched.gate_conv[:n_steps_used],
+            fusion_mask=sched.fusion_mask[:n_steps_used],
+            timesteps=sched.timesteps[:n_steps_used])
+        return np.asarray(core.pnp_composite_core(
+            pipe._unet_apply, ddim, pipe.params["unet"], xT, cond, s,
+            jnp.asarray(masks), pyr, pyr,
+            num_inference_steps=10, guidance_scale=3.0,
+            random_noise_ratio=0.3, two_pass="stream", capture_weights=cw,
+            capture_reuse_interval=cap_interval))
+
+    exact1 = run(1, 1)
+    cap1 = run(2, 1)  # one step: always fresh -> identical to exact
+    np.testing.assert_allclose(cap1, exact1, atol=1e-5)
+
+    cap3 = run(2, 3)  # steps 0,2 fresh, 1 cached: runs + finite
+    assert cap3.shape == exact1.shape
+    assert np.isfinite(cap3).all()
+    exact3 = run(1, 3)
+    assert not np.allclose(cap3, exact3), (
+        "capture_reuse interval 2 should actually skip the capture pass")

@@ -140,7 +140,10 @@ def apply_unet_options(pipe, template_cfg):
     opts = {}
     if template_cfg.get("temporal_window", None) is not None:
         opts["temporal_window"] = int(template_cfg.get("temporal_window"))
-    if template_cfg.get("temporal_natural_layout", False):
+    # frame-major temporal transformers: exact and measured faster in every
+    # configuration — DEFAULT ON; `temporal_natural_layout: false` restores
+    # the reference's [B*H*W, F, C] token layout
+    if template_cfg.get("temporal_natural_layout", True):
         opts["temporal_natural_layout"] = True
     if opts:
         from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet

@@ -118,7 +118,14 @@ def flash_attention(
     b, h, sq, d = q.shape
     sk = k.shape[2]
     block_q = block_q or _pick_block(sq, 512)
-    block_k = block_k or _pick_block(sk, 1024)
+    if not block_k:
+        if sk <= 1024:
+            # short K (cross-attention: 145 context tokens): ONE K block,
+            # padded up to the 128-lane tile — the whole softmax stays in
+            # VMEM instead of XLA's HBM round-trips over padded fp32 logits
+            block_k = -(-sk // 128) * 128
+        else:
+            block_k = _pick_block(sk, 1024)
     scale = 1.0 / math.sqrt(d)
 
     qf = _pad_to(q.reshape(b * h, sq, d), block_q, axis=1)
@@ -277,11 +284,13 @@ def use_frame_kernel() -> bool:
 
 
 def use_flash(seq_q: int, seq_k: int, d: int) -> bool:
-    """Dispatch policy: flash for long self-attention sequences on TPU."""
+    """Dispatch policy: flash whenever the QUERY sequence is long — both
+    long self-attention (sk == sq) and cross-attention (sk = 145 context
+    tokens, where the win is keeping the [sq, sk] softmax in VMEM)."""
     if os.environ.get("MVOC_DISABLE_FLASH"):
         return False
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:  # pragma: no cover
         return False
-    return platform == "tpu" and seq_q >= FLASH_MIN_SEQ and seq_k >= FLASH_MIN_SEQ
+    return platform == "tpu" and seq_q >= FLASH_MIN_SEQ

@@ -44,3 +44,15 @@ def test_flash_bf16_io(rng):
     np.testing.assert_allclose(
         np.asarray(out, dtype=np.float32), ref, atol=0.06, rtol=0.05
     )
+
+
+def test_flash_cross_attention_short_k(rng):
+    """Cross-attention shape (long q, 145 context tokens): the auto block_k
+    pads the single K block to the 128-lane tile and masks the remainder."""
+    b, h, sq, sk, d = 1, 2, 256, 145, 8
+    q = rng.standard_normal((b, h, sq, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, sk, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, sk, d), dtype=np.float32)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), _ref(q, k, v), atol=2e-5)

@@ -225,7 +225,8 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
             params, sample, latents, gate), donate_argnums=(1,))
 
     def make_stream_step(cached: bool = False, want_cache: bool = False,
-                         cap_fresh: bool = False, cap_cached: bool = False):
+                         cap_fresh: bool = False, cap_cached: bool = False,
+                         deep: bool = False):
         """two_pass='stream': scan capture over source branches (batch 1) —
         peak activation memory of ONE branch; consume on the 2 edit
         branches (see pipeline/core.py stream path).  cached/want_cache add
@@ -281,7 +282,9 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
                 lambda sh: jnp.zeros(sh.shape, sh.dtype), feats_shapes)
 
             if cap_cached:
-                feats = caches  # broadcast the cached source features
+                # broadcast the cached source features (deep: cache also
+                # carries the edit encoder + attention outputs)
+                feats = caches[0] if deep else caches
             elif cached or want_cache:
                 src_caches, edit_cache = caches if cached else (None, None)
 
@@ -314,6 +317,7 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
             pnp_c = dc.replace(pnp_state, mode="consume_pre", features=feats)
             lat_b = latents[None].astype(dtype)
             edit_sample = jnp.concatenate([lat_b, lat_b], 0)
+            new_deep_cache = None
             if cached:
                 eps = model.apply(
                     params, **{**edit, "sample": edit_sample},
@@ -322,6 +326,17 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
                 eps, edit_cache = model.apply(
                     params, **{**edit, "sample": edit_sample},
                     pnp=pnp_c, return_encoder=True)
+            elif cap_fresh and deep:
+                (eps, edit_enc), variables = model.apply(
+                    params, **{**edit, "sample": edit_sample},
+                    pnp=pnp_c, return_encoder=True, pab_capture=True,
+                    mutable=["attn_out"])
+                attn = {k: v[0] for k, v in variables["attn_out"].items()}
+                new_deep_cache = (feats, edit_enc, attn)
+            elif cap_cached and deep:
+                eps = model.apply(
+                    params, **{**edit, "sample": edit_sample},
+                    pnp=pnp_c, cached_encoder=caches[1], pab_cache=caches[2])
             else:
                 eps = model.apply(
                     params, **{**edit, "sample": edit_sample}, pnp=pnp_c)
@@ -331,7 +346,8 @@ def build(preset: str, natural: bool = False, reuse_depth=None):
                 [sample[: n_obj + 1], new_latents[None].astype(dtype),
                  new_latents[None].astype(dtype)], axis=0)
             if cap_fresh:
-                return new_sample, new_latents, feats
+                return new_sample, new_latents, (
+                    new_deep_cache if deep else feats)
             if not (cached or want_cache or cap_cached):
                 return new_sample, new_latents
             if cap_cached:
@@ -729,6 +745,11 @@ def main():
                     help="(--stream) broadcast captured PnP source features "
                     "for k-1 of every k steps — skips the N+1 capture "
                     "forwards on cached steps (approximate; 1 = off/exact)")
+    ap.add_argument("--capture_reuse_deep", action="store_true",
+                    help="(--capture_reuse k) cached steps also reuse the "
+                    "edit encoder + up-block attention outputs (strongest "
+                    "approximation: cached step = edit up-block convs/FF "
+                    "+ CFG + DDIM)")
     ap.add_argument("--pab", type=int, default=1,
                     help="PAB attention-output broadcast interval on the "
                     "fused path (approximate; 1 = off/exact)")
@@ -786,8 +807,8 @@ def main():
         import time as _time
 
         k = args.capture_reuse
-        st_fresh = make_stream(cap_fresh=True)
-        st_cached = make_stream(cap_cached=True)
+        st_fresh = make_stream(cap_fresh=True, deep=args.capture_reuse_deep)
+        st_cached = make_stream(cap_cached=True, deep=args.capture_reuse_deep)
         s, l, c = st_fresh(params, sample, latents, gate)
         jax.block_until_ready((s, l))
         s, l = st_cached(params, s, l, gate, c)
@@ -809,6 +830,7 @@ def main():
                 "long64": "composite_denoise_steps_per_sec_per_chip_64f_512px_window16",
                 "smoke": "composite_denoise_steps_per_sec_smoke",
             }[args.preset] + f"_stream_capreuse{k}"
+            + ("deep" if args.capture_reuse_deep else "")
             + ("_natural" if args.natural else ""),
             "value": round(iters / dt, 4),
             "unit": "steps/s",

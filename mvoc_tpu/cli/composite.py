@@ -113,6 +113,9 @@ def run_entry(pipe, config) -> None:
         # steps on two_pass/stream — skips the N+1 capture forwards on
         # cached steps (approximate; 1 = off/exact)
         capture_reuse_interval=config.get("capture_reuse_interval", 1),
+        # deep variant: cached steps also reuse the edit encoder + up-block
+        # attention outputs (strongest approximation)
+        capture_reuse_deep=config.get("capture_reuse_deep", False),
         two_pass=config.get("two_pass", False),
         pnp_f_t=config.pnp_f_t,
         pnp_spatial_attn_t=config.pnp_spatial_attn_t,

@@ -348,6 +348,7 @@ def pnp_composite_core(
     capture_weights=None,
     pab_interval: int = 1,
     capture_reuse_interval: int = 1,
+    capture_reuse_deep: bool = False,
 ) -> jax.Array:
     """The MVOC composite sampler as one scan (reference:
     pipeline_i2vgen_xl.py:1635-1734 + pnp_utils injection sites).
@@ -391,6 +392,13 @@ def pnp_composite_core(
     as PAB applied at the PnP-feature level (source features drift slowly
     across adjacent t, like attention outputs).  Approximate; interval 1 =
     off/exact.
+
+    capture_reuse_deep=True broadcasts the slow-moving EDIT-pass state too:
+    cached steps reuse the edit branches' encoder cache (down+mid features)
+    and their up-block attention outputs (PAB), so a cached step computes
+    only the edit up-block convs/FFs + CFG + DDIM.  The strongest
+    training-free acceleration mode; composes capture reuse + encoder reuse
+    + PAB at one interval in a single blockwise scan.
     """
     n_obj = masks_soft.shape[0]
     mask_b = masks_soft[..., None]  # [N, F, h, w, 1]
@@ -406,6 +414,9 @@ def pnp_composite_core(
     if cap_reuse:
         assert (two_pass or stream) and not reuse and not pab, (
             "capture_reuse_interval composes with two_pass/stream only")
+    if capture_reuse_deep:
+        assert cap_reuse and stream, (
+            "capture_reuse_deep extends capture reuse on the stream path")
 
     def _slice_cond(c, lo, hi):
         return UNetConditioning(
@@ -501,7 +512,9 @@ def pnp_composite_core(
 
             src_caches_out = None
             if mode == "cap_cached":
-                feats = cache  # broadcast the cached source features
+                # broadcast the cached source features (deep: cache also
+                # carries the edit encoder + attention outputs, used below)
+                feats = cache[0] if capture_reuse_deep else cache
             elif mode == "fresh":
                 def cap_body(feats_acc, xs_b):
                     cond_b, inp_b, wgt_b = xs_b
@@ -552,6 +565,16 @@ def pnp_composite_core(
             elif mode == "cached":
                 eps_edit = unet_apply(unet_params, **edit_kwargs,
                                       cached_encoder=cache[1])
+            elif mode == "cap_fresh" and capture_reuse_deep:
+                (eps_edit, edit_enc), variables = unet_apply(
+                    unet_params, **edit_kwargs, return_encoder=True,
+                    pab_capture=True, mutable=["attn_out"])
+                attn = {k: v[0] for k, v in variables["attn_out"].items()}
+                new_cache = (feats, edit_enc, attn)
+            elif mode == "cap_cached" and capture_reuse_deep:
+                eps_edit = unet_apply(unet_params, **edit_kwargs,
+                                      cached_encoder=cache[1],
+                                      pab_cache=cache[2])
             else:
                 eps_edit = unet_apply(unet_params, **edit_kwargs)
                 if mode == "cap_fresh":

@@ -697,6 +697,7 @@ class I2VGenXLPipeline:
         encoder_reuse_depth: Optional[int] = None,
         pab_interval: int = 1,
         capture_reuse_interval: int = 1,
+        capture_reuse_deep: bool = False,
         two_pass: bool | str = False,  # False | True | "stream"
         pnp_f_t: float = 0.8,
         pnp_spatial_attn_t: float = 0.8,
@@ -845,6 +846,7 @@ class I2VGenXLPipeline:
                 capture_weights=capture_weights,
                 pab_interval=int(pab_interval),
                 capture_reuse_interval=int(capture_reuse_interval),
+                capture_reuse_deep=bool(capture_reuse_deep),
             )
         )
         final = composite_fn(

@@ -698,22 +698,30 @@ def test_composite_capture_reuse(pipe, cond1):
     res = [(LAT, LAT), (LAT // 2, LAT // 2), (LAT // 4, LAT // 4)]
     pyr = {k: jnp.asarray(v)
            for k, v in pnp_lib.build_mask_pyramid(masks, res).items()}
-    cw = pnp_lib.build_capture_weights(pyr, pyr, True)
+    # inject_background=False: the EDIT branch is the conv-site base, so the
+    # edit pass influences eps even with all gates on (with True + always-on
+    # gates the out-conv site is 100% source-determined and the deep-reuse
+    # assertions below would compare identical source features)
+    cw = pnp_lib.build_capture_weights(pyr, pyr, False)
     S = 3
     ts = jnp.asarray(sampling_timesteps(SchedulerConfig(), 10)[:S])
     on = jnp.ones((S,), bool)
+    # conv gate OFF: conv sites composite from bg ALWAYS (reference
+    # semantics), so with gate_conv on every step the out-conv injection
+    # makes eps 100% source-determined and the edit-pass deep-reuse below
+    # would be unobservable
     sched = core.CompositeSchedule(
         bg_traj=mk(S, F, LAT, LAT, 4),
         obj_traj=mk(S, n_obj, F, LAT, LAT, 4),
         obj_fusion_lat=mk(n_obj, F, LAT, LAT, 4),
-        gate_spatial=on, gate_temporal=on, gate_conv=on,
+        gate_spatial=on, gate_temporal=on, gate_conv=jnp.zeros((S,), bool),
         fusion_mask=jnp.asarray([True, False, False]),
         timesteps=ts,
     )
     ddim = DDIM(SchedulerConfig())
     xT = mk(F, LAT, LAT, 4)
 
-    def run(cap_interval, n_steps_used):
+    def run(cap_interval, n_steps_used, deep=False):
         import dataclasses as dc
 
         s = dc.replace(
@@ -729,8 +737,9 @@ def test_composite_capture_reuse(pipe, cond1):
             pipe._unet_apply, ddim, pipe.params["unet"], xT, cond, s,
             jnp.asarray(masks), pyr, pyr,
             num_inference_steps=10, guidance_scale=3.0,
-            random_noise_ratio=0.3, two_pass="stream", capture_weights=cw,
-            capture_reuse_interval=cap_interval))
+            random_noise_ratio=0.3, inject_background=False,
+            two_pass="stream", capture_weights=cw,
+            capture_reuse_interval=cap_interval, capture_reuse_deep=deep))
 
     exact1 = run(1, 1)
     cap1 = run(2, 1)  # one step: always fresh -> identical to exact
@@ -742,3 +751,10 @@ def test_composite_capture_reuse(pipe, cond1):
     exact3 = run(1, 3)
     assert not np.allclose(cap3, exact3), (
         "capture_reuse interval 2 should actually skip the capture pass")
+
+    deep1 = run(2, 1, deep=True)  # fresh step: deep == exact too
+    np.testing.assert_allclose(deep1, exact1, atol=1e-5)
+    deep3 = run(2, 3, deep=True)  # cached step reuses edit encoder + attn
+    assert np.isfinite(deep3).all()
+    assert not np.allclose(deep3, cap3), (
+        "deep mode should reuse strictly more state than capture-only")

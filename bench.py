@@ -440,7 +440,8 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             n_frames: int = 16, invert_steps: int = 500,
             compose_steps: int = 50, stream: bool = True,
             mesh_devices: int = 0, batch: bool = False, reuse: int = 1,
-            reuse_depth=None):
+            reuse_depth=None, capture_reuse: int = 1,
+            capture_reuse_deep: bool = False):
     """End-to-end MVOC workflow wall-clock: DDIM-invert the background +
     2 object videos (500 steps each, cfg=1, like the reference's stage 1 —
     reference: group_inversion/template.yaml:30-34) then run the 50-step
@@ -653,6 +654,10 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
     comp_kw = {}
     if reuse > 1:
         comp_kw = dict(encoder_reuse_interval=int(reuse))
+    elif capture_reuse > 1:
+        assert stream, "--capture_reuse composes with the stream composite"
+        comp_kw = dict(capture_reuse_interval=int(capture_reuse),
+                       capture_reuse_deep=bool(capture_reuse_deep))
     params_comp = params
     if mesh_comp is not None:
         import dataclasses as _dc
@@ -709,7 +714,9 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         + ("_mesh%d" % mesh_devices if mesh_devices else "")
         + ("_batch" if (batch or mesh_inv is not None) else "")
         + ("_reuse%d" % reuse if reuse > 1 else "")
-        + ("d%d" % reuse_depth if reuse > 1 and reuse_depth else ""),
+        + ("d%d" % reuse_depth if reuse > 1 and reuse_depth else "")
+        + ("_capreuse%d%s" % (capture_reuse, "deep" if capture_reuse_deep
+                              else "") if capture_reuse > 1 else ""),
         "value": round(total, 2),
         "unit": "s",
         "vs_baseline": None,
@@ -791,7 +798,9 @@ def main():
         run_e2e(natural=args.natural, stream=not args.two_pass,
                 height_lat=hl, width_lat=wl,
                 mesh_devices=args.mesh, batch=args.batch, reuse=args.reuse,
-                reuse_depth=args.reuse_depth)
+                reuse_depth=args.reuse_depth,
+                capture_reuse=args.capture_reuse,
+                capture_reuse_deep=args.capture_reuse_deep)
         return
 
     iters = args.iters or (10 if args.preset.startswith("full")

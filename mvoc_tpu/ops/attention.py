@@ -190,7 +190,7 @@ def _frame_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
 
 
 @functools.partial(jax.jit, static_argnames=("f", "heads", "interpret",
-                                             "sf_layout"))
+                                             "sf_layout", "fold"))
 def frame_attention(
     q: jax.Array,  # [B, F, S, H*D] frame-major; or [S, F, H*D] (sf_layout)
     k: jax.Array,
@@ -200,6 +200,7 @@ def frame_attention(
     bias: jax.Array,  # [M, M] fp32 additive (block-diag x band), M = g*F
     sf_layout: bool = False,
     interpret: bool = False,
+    fold: int = 0,  # 0 = MVOC_FRAME_ATTN_FOLD env (a jit-static knob)
 ) -> jax.Array:
     """Self-attention across the F frame axis independently per pixel s —
     the temporal-attention hot op (reference reaches it through torch SDPA
@@ -235,41 +236,71 @@ def frame_attention(
             return t.transpose(0, 3, 2, 4, 1, 5).reshape(b * x, s, m, d)
 
     qm, km, vm = pack(q), pack(k), pack(v)
+    bx = qm.shape[0]
+
+    # Optional s-PAIR FOLDING (MVOC_FRAME_ATTN_FOLD=2): adjacent pixels are
+    # packed d-block-diagonally — q rows of pixel 0 occupy d-columns [0, D),
+    # pixel 1 occupies [D, 2D), so one [2M, 2D] x [2D, 2M] matmul computes
+    # both pixels' logits with exact zeros in the cross-pixel blocks
+    # (disjoint contraction support), halving the batched-matmul count the
+    # Mosaic lowering issues.  The bias gets -1e30 on the cross blocks.
+    fold = fold or int(os.environ.get("MVOC_FRAME_ATTN_FOLD", "1"))
+    if fold == 2 and s % 2 == 0 and m <= 128:
+        def dpack(t):
+            t = t.reshape(bx, s // 2, 2, m, d)
+            z = jnp.zeros_like(t[:, :, 0])
+            row0 = jnp.concatenate([t[:, :, 0], z], axis=-1)   # [.., m, 2d]
+            row1 = jnp.concatenate([z, t[:, :, 1]], axis=-1)
+            return jnp.concatenate([row0, row1], axis=-2)      # [.., 2m, 2d]
+
+        qm, km, vm = dpack(qm), dpack(km), dpack(vm)
+        bias = (jnp.full((2 * m, 2 * m), NEG_INF, jnp.float32)
+                .at[:m, :m].set(bias).at[m:, m:].set(bias))
+        m_eff, d_eff, s_eff = 2 * m, 2 * d, s // 2
+    else:
+        fold = 1
+        m_eff, d_eff, s_eff = m, d, s
+
     # fp32 logits block [s_blk, M, M] must fit VMEM alongside q/k/v tiles
-    s_blk = _pick_block(s, 64, multiple=8)
-    if s % s_blk:
-        pad = -s % s_blk
+    s_blk = _pick_block(s_eff, 64, multiple=8)
+    if s_eff % s_blk:
+        pad = -s_eff % s_blk
         qm = jnp.pad(qm, ((0, 0), (0, pad), (0, 0), (0, 0)))
         km = jnp.pad(km, ((0, 0), (0, pad), (0, 0), (0, 0)))
         vm = jnp.pad(vm, ((0, 0), (0, pad), (0, 0), (0, 0)))
     s_pad = qm.shape[1]
 
-    grid = (b * x, s_pad // s_blk)
-    spec = pl.BlockSpec((None, s_blk, m, d), lambda i, j: (i, j, 0, 0),
+    grid = (bx, s_pad // s_blk)
+    spec = pl.BlockSpec((None, s_blk, m_eff, d_eff), lambda i, j: (i, j, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_frame_kernel, scale=scale),
         grid=grid,
         in_specs=[spec, spec, spec,
-                  pl.BlockSpec((m, m), lambda i, j: (0, 0),
+                  pl.BlockSpec((m_eff, m_eff), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b * x, s_pad, m, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bx, s_pad, m_eff, d_eff), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1024 * 1024 * 96),
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * x * s * m * m * d,
+            flops=4 * bx * s_eff * m_eff * m_eff * d_eff,
             bytes_accessed=3 * qm.size * q.dtype.itemsize,
-            transcendentals=b * x * s * m * m,
+            transcendentals=bx * s_eff * m_eff * m_eff,
         ),
         interpret=interpret,
     )(qm, km, vm, bias.astype(jnp.float32))
+    out = out[:, :s_eff]
+    if fold == 2:
+        # unfold: row block i carries pixel i's output in d-columns block i
+        out = jnp.stack([out[:, :, :m, :d], out[:, :, m:, d:]],
+                        axis=2).reshape(bx, s, m, d)
     if sf_layout:
-        out = out[:, :s].reshape(x, s, g, f, d).transpose(1, 3, 0, 2, 4)
+        out = out.reshape(x, s, g, f, d).transpose(1, 3, 0, 2, 4)
         return out.reshape(s, f, inner)
-    out = out[:, :s].reshape(b, x, s, g, f, d).transpose(0, 4, 2, 1, 3, 5)
+    out = out.reshape(b, x, s, g, f, d).transpose(0, 4, 2, 1, 3, 5)
     return out.reshape(b, f, s, inner)
 
 

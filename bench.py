@@ -510,6 +510,10 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         job = 4 if n % 4 == 0 else (2 if n % 2 == 0 else 1)
         mesh_inv = pm.make_mesh(n, job=job)
         mesh_comp = pm.make_mesh(n)
+        # GSPMD cannot shard a pallas_call: XLA attention under a mesh
+        from mvoc_tpu.ops import attention as _attn
+
+        _attn.DISABLE_FOR_MESH = True
 
     def mk(*shape):
         return jnp.asarray(rng.standard_normal(shape), dtype=dtype)

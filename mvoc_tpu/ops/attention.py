@@ -32,6 +32,13 @@ NEG_INF = float(-1e30)
 # dispatch threshold: below this seq length the XLA path wins
 FLASH_MIN_SEQ = 1024
 
+# Set True (pipeline.enable_mesh does) to route ALL attention through the
+# XLA paths: under a >1-device GSPMD mesh a pallas_call is an opaque
+# custom-call the SPMD partitioner cannot shard — XLA would force
+# replication/all-gathers around it.  The XLA attention paths partition
+# cleanly.  Wrapping the kernels in shard_map is the planned lift.
+DISABLE_FOR_MESH = False
+
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_k: int, scale: float):
     """One (batch*heads, q-block) program: stream K/V blocks, online softmax.
@@ -306,7 +313,7 @@ def frame_attention(
 
 def use_frame_kernel() -> bool:
     """Dispatch policy for the Pallas frame-attention kernel (TPU only)."""
-    if os.environ.get("MVOC_DISABLE_FLASH"):
+    if os.environ.get("MVOC_DISABLE_FLASH") or DISABLE_FOR_MESH:
         return False
     try:
         return jax.devices()[0].platform == "tpu"
@@ -318,7 +325,7 @@ def use_flash(seq_q: int, seq_k: int, d: int) -> bool:
     """Dispatch policy: flash whenever the QUERY sequence is long — both
     long self-attention (sk == sq) and cross-attention (sk = 145 context
     tokens, where the win is keeping the [sq, sk] softmax in VMEM)."""
-    if os.environ.get("MVOC_DISABLE_FLASH"):
+    if os.environ.get("MVOC_DISABLE_FLASH") or DISABLE_FOR_MESH:
         return False
     try:
         platform = jax.devices()[0].platform

@@ -101,6 +101,12 @@ class I2VGenXLPipeline:
 
         mesh = pm.make_mesh(n_devices, seq=seq, devices=devices, job=job)
         self.mesh = mesh
+        if mesh.size > 1:
+            # GSPMD cannot shard a pallas_call (opaque custom-call): route
+            # attention through the XLA paths, which partition cleanly
+            from mvoc_tpu.ops import attention as _attn
+
+            _attn.DISABLE_FOR_MESH = True
         self.params = dict(self.params)
         self.params["unet"] = pm.shard_params(self.params["unet"], mesh)
         for k in ("vae", "text_encoder", "image_encoder"):
@@ -114,6 +120,9 @@ class I2VGenXLPipeline:
             dev = jax.devices()[0]
             self.params = jax.device_put(self.params, dev)
             self.mesh = None
+            from mvoc_tpu.ops import attention as _attn
+
+            _attn.DISABLE_FOR_MESH = False
         return self
 
     def _shard_video(self, x: jax.Array, frame_axis: int = 0) -> jax.Array:

@@ -288,3 +288,23 @@ def test_frame_attention_kernel_fold(rng):
         layers._block_diag_bias(f, g, None), interpret=True, fold=2)
     np.testing.assert_allclose(
         np.asarray(out), _naive_frame_attention(q, k, v, heads), atol=2e-5)
+
+
+def test_frame_attention_kernel_bf16(rng):
+    """bf16 inputs: fp32 softmax statistics inside the kernel keep the
+    output within bf16-rounding distance of the fp32 naive reference."""
+    from mvoc_tpu.ops import attention as flash
+
+    heads, f, d, s = 5, 16, 8, 16
+    q = rng.standard_normal((1, f, s, heads * d), dtype=np.float32)
+    k = rng.standard_normal((1, f, s, heads * d), dtype=np.float32)
+    v = rng.standard_normal((1, f, s, heads * d), dtype=np.float32)
+    g = layers._head_group_size(heads, f)
+    out = flash.frame_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), f, heads,
+        layers._block_diag_bias(f, g, None), interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _naive_frame_attention(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=0.06, rtol=0.05)

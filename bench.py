@@ -440,8 +440,8 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             n_frames: int = 16, invert_steps: int = 500,
             compose_steps: int = 50, stream: bool = True,
             mesh_devices: int = 0, batch: bool = False, reuse: int = 1,
-            reuse_depth=None, capture_reuse: int = 1,
-            capture_reuse_deep: bool = False):
+            reuse_depth=None, reuse_deep: bool = False,
+            capture_reuse: int = 1, capture_reuse_deep: bool = False):
     """End-to-end MVOC workflow wall-clock: DDIM-invert the background +
     2 object videos (500 steps each, cfg=1, like the reference's stage 1 —
     reference: group_inversion/template.yaml:30-34) then run the 50-step
@@ -554,7 +554,8 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
     inv_ts_np = np.asarray(inversion_timesteps(SchedulerConfig(), invert_steps))
     reuse_kw = {}
     if reuse > 1:
-        reuse_kw = dict(encoder_reuse_interval=int(reuse))
+        reuse_kw = dict(encoder_reuse_interval=int(reuse),
+                        deep_reuse=bool(reuse_deep))
 
     if batch or mesh_inv is not None:
         # batched inversion: J videos on the UNet batch axis; under a mesh
@@ -719,6 +720,7 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         + ("_batch" if (batch or mesh_inv is not None) else "")
         + ("_reuse%d" % reuse if reuse > 1 else "")
         + ("d%d" % reuse_depth if reuse > 1 and reuse_depth else "")
+        + ("deep" if reuse > 1 and reuse_deep else "")
         + ("_capreuse%d%s" % (capture_reuse, "deep" if capture_reuse_deep
                               else "") if capture_reuse > 1 else ""),
         "value": round(total, 2),
@@ -752,6 +754,10 @@ def main():
     ap.add_argument("--reuse_depth", type=int, default=None,
                     help="partial-depth encoder reuse: cache only down "
                     "blocks K.. + mid (smaller cache; fits 720p)")
+    ap.add_argument("--reuse_deep", action="store_true",
+                    help="(e2e, with --reuse k) cached INVERSION steps also "
+                    "broadcast up-block attention outputs (PAB): cached "
+                    "step = up-block convs/FF + DDIM-inverse only")
     ap.add_argument("--capture_reuse", type=int, default=1,
                     help="(--stream) broadcast captured PnP source features "
                     "for k-1 of every k steps — skips the N+1 capture "
@@ -802,7 +808,7 @@ def main():
         run_e2e(natural=args.natural, stream=not args.two_pass,
                 height_lat=hl, width_lat=wl,
                 mesh_devices=args.mesh, batch=args.batch, reuse=args.reuse,
-                reuse_depth=args.reuse_depth,
+                reuse_depth=args.reuse_depth, reuse_deep=args.reuse_deep,
                 capture_reuse=args.capture_reuse,
                 capture_reuse_deep=args.capture_reuse_deep)
         return

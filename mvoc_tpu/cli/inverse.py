@@ -92,13 +92,14 @@ def run_batched(pipe, configs) -> None:
             tuple(config.image_size), config.n_frames, inv.n_steps,
             inv.target_fps, inv.prompt, config.get("seed", 8888),
             inv.get("encoder_reuse_interval", 1),
+            inv.get("deep_reuse", False),
         )
         groups.setdefault(key, []).append(config)
 
     for key, group in groups.items():
         if len(group) < 2:
             continue  # nothing to batch; sequential path handles it
-        image_size, n_frames, n_steps, fps, prompt, seed, reuse = key
+        image_size, n_frames, n_steps, fps, prompt, seed, reuse, deep = key
         videos, firsts, out_dirs = [], [], []
         for config in group:
             frames, first = _load_entry_frames(config)
@@ -112,6 +113,7 @@ def run_batched(pipe, configs) -> None:
             height=image_size[1], width=image_size[0], target_fps=fps,
             num_frames=n_frames, num_inference_steps=n_steps, seed=seed,
             output_dirs=out_dirs, encoder_reuse_interval=reuse,
+            deep_reuse=deep,
         )
         for config in group:
             # the per-entry pass must now pick up the fresh cache
@@ -142,6 +144,8 @@ def run_entry(pipe, config) -> None:
             # mvoc_tpu extension (not in the reference): 1 = exact
             encoder_reuse_interval=inv.get("encoder_reuse_interval", 1),
             encoder_reuse_depth=inv.get("encoder_reuse_depth", None),
+            # deep variant: cached steps also broadcast up-block attention
+            deep_reuse=inv.get("deep_reuse", False),
         )
         logger.info("inversion done: %d steps -> %s", len(ts), out_dir)
 

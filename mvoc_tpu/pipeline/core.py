@@ -138,6 +138,7 @@ def ddim_inversion_core(
     num_inference_steps: int,
     guidance_scale: float = 1.0,
     encoder_reuse_interval: int = 1,
+    deep_reuse: bool = False,
 ) -> jax.Array:
     """Full DDIM inversion as one scan. Returns the trajectory
     [S, F, h, w, C]: entry i = latents at timesteps[i] (ascending), exactly
@@ -146,6 +147,9 @@ def ddim_inversion_core(
     encoder_reuse_interval > 1: training-free encoder reuse (see
     pnp_composite_core) — the 500-step inversion dominates end-to-end
     wall-clock, so this is the highest-leverage acceleration knob.
+    deep_reuse=True additionally broadcasts the up-block attention outputs
+    (PAB), so a cached inversion step computes only up-block convs/FF +
+    the DDIM-inverse update.
     """
     do_cfg = guidance_scale > 1.0
     n_branches = 2 if do_cfg else 1
@@ -162,8 +166,16 @@ def ddim_inversion_core(
             encoder_hidden_states=cond.encoder_hidden_states,
         )
         new_cache = None
-        if want_cache:
+        if want_cache and deep_reuse:
+            (eps, enc), variables = unet_apply(
+                unet_params, **kwargs, return_encoder=True,
+                pab_capture=True, mutable=["attn_out"])
+            new_cache = (enc, {k: v[0] for k, v in variables["attn_out"].items()})
+        elif want_cache:
             eps, new_cache = unet_apply(unet_params, **kwargs, return_encoder=True)
+        elif cache is not None and deep_reuse:
+            eps = unet_apply(unet_params, **kwargs, cached_encoder=cache[0],
+                             pab_cache=cache[1])
         elif cache is not None:
             eps = unet_apply(unet_params, **kwargs, cached_encoder=cache)
         else:
@@ -198,6 +210,7 @@ def ddim_inversion_batch_core(
     timesteps: jax.Array,             # [S] ascending inversion timesteps
     num_inference_steps: int,
     encoder_reuse_interval: int = 1,
+    deep_reuse: bool = False,
 ) -> jax.Array:
     """Invert J independent videos in ONE scan, J = the UNet batch axis.
 
@@ -207,6 +220,7 @@ def ddim_inversion_batch_core(
     mesh slice owns one video (pure DP: zero cross-video communication).
     Inversion runs at cfg == 1 (group_inversion/template.yaml:32), so each
     video contributes exactly one UNet branch.  Returns [S, J, F, h, w, C].
+    deep_reuse: see ddim_inversion_core.
     """
 
     def one_step(latents, t, cache=None, want_cache: bool = False):
@@ -220,8 +234,16 @@ def ddim_inversion_batch_core(
             encoder_hidden_states=cond.encoder_hidden_states,
         )
         new_cache = None
-        if want_cache:
+        if want_cache and deep_reuse:
+            (eps, enc), variables = unet_apply(
+                unet_params, **kwargs, return_encoder=True,
+                pab_capture=True, mutable=["attn_out"])
+            new_cache = (enc, {k: v[0] for k, v in variables["attn_out"].items()})
+        elif want_cache:
             eps, new_cache = unet_apply(unet_params, **kwargs, return_encoder=True)
+        elif cache is not None and deep_reuse:
+            eps = unet_apply(unet_params, **kwargs, cached_encoder=cache[0],
+                             pab_cache=cache[1])
         elif cache is not None:
             eps = unet_apply(unet_params, **kwargs, cached_encoder=cache)
         else:

@@ -401,12 +401,14 @@ class I2VGenXLPipeline:
         latents: Optional[jax.Array] = None,
         encoder_reuse_interval: int = 1,
         encoder_reuse_depth: Optional[int] = None,
+        deep_reuse: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """DDIM-invert a video. Returns (timesteps ascending, trajectory
         [S, F, h, w, C]); writes the trajectory store when output_dir given.
         encoder_reuse_interval > 1 enables training-free encoder reuse;
         encoder_reuse_depth = k caches only down blocks k.. + mid (partial
-        depth — ~4x smaller cache, fits 720p)."""
+        depth — ~4x smaller cache, fits 720p); deep_reuse=True also
+        broadcasts the up-block attention outputs (PAB) on cached steps."""
         self.check_inputs(height, width, num_frames, prompt=prompt,
                           prompt_embeds=prompt_embeds,
                           negative_prompt=negative_prompt,
@@ -444,6 +446,7 @@ class I2VGenXLPipeline:
                     ua, self.ddim, p, x0, c, t,
                     num_inference_steps, float(guidance_scale),
                     encoder_reuse_interval=int(encoder_reuse_interval),
+                    deep_reuse=bool(deep_reuse),
                 )
             )
             trajectory = invert_fn(
@@ -479,6 +482,7 @@ class I2VGenXLPipeline:
         seed: int = 8888,
         output_dirs: Optional[Sequence[Optional[str]]] = None,
         encoder_reuse_interval: int = 1,
+        deep_reuse: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """DDIM-invert J independent videos in ONE scan (J = UNet batch
         axis; shards over the mesh "job" axis when enabled).  The reference
@@ -524,7 +528,8 @@ class I2VGenXLPipeline:
         ts = inversion_timesteps(self.scheduler_config, num_inference_steps)
         kwargs = {}
         if encoder_reuse_interval > 1:
-            kwargs = dict(encoder_reuse_interval=int(encoder_reuse_interval))
+            kwargs = dict(encoder_reuse_interval=int(encoder_reuse_interval),
+                          deep_reuse=bool(deep_reuse))
         batch_fn = jax.jit(
             lambda p, x, c, t: core.ddim_inversion_batch_core(
                 self._unet_apply, self.ddim, p, x, c, t,

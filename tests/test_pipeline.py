@@ -352,6 +352,17 @@ def test_inversion_encoder_reuse_runs(pipe, cond1):
     # approximation must actually differ
     assert np.abs(traj1 - traj2).max() > 1e-6
 
+    # deep reuse (cached steps also broadcast up-block attention outputs):
+    # runs, finite, and reuses strictly more than encoder reuse alone
+    ts3, traj3 = pipe.invert(
+        frames, height=tt2.TINY_HW, width=tt2.TINY_HW, num_frames=F,
+        num_inference_steps=6, guidance_scale=1.0, seed=3,
+        encoder_reuse_interval=2, deep_reuse=True,
+    )
+    np.testing.assert_array_equal(ts1, ts3)
+    assert np.isfinite(traj3).all()
+    assert np.abs(traj3 - traj2).max() > 1e-6
+
 
 def test_trajectory_meta_stale_cache_detection(tmp_path, rng):
     lat = rng.standard_normal((2, F, LAT, LAT, 4)).astype(np.float32)

@@ -34,6 +34,63 @@ import numpy as np
 REFERENCE_STEPS_PER_SEC_ESTIMATE = 0.55  # est. reference fp16 A100, batch-5 @16f/512px
 
 
+def probe_backend(attempts: int = 3, probe_timeout: int = 90,
+                  retry_sleep: int = 75):
+    """Bounded TPU-backend liveness probe.
+
+    The axon TPU tunnel goes down for hours at a time, and when it does even
+    ``jax.devices()`` HANGS (it does not raise) — so the probe must run in a
+    subprocess with a hard timeout; an in-process try/except can never fire.
+    Returns (ok, details).  ``ok`` means a non-CPU backend answered within
+    the timeout on some attempt.
+    """
+    import subprocess
+
+    code = ("import jax; d = jax.devices(); "
+            "print(d[0].platform, d[0].device_kind, len(d))")
+    log = []
+    for i in range(attempts):
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=probe_timeout)
+            dt = time.perf_counter() - t0
+            out = (r.stdout or "").strip()
+            if r.returncode == 0 and out and not out.startswith("cpu"):
+                log.append({"attempt": i + 1, "ok": True, "device": out,
+                            "seconds": round(dt, 1)})
+                return True, log
+            log.append({"attempt": i + 1, "ok": False,
+                        "rc": r.returncode, "out": out[-200:],
+                        "err": (r.stderr or "").strip()[-300:],
+                        "seconds": round(dt, 1)})
+        except subprocess.TimeoutExpired:
+            log.append({"attempt": i + 1, "ok": False,
+                        "timeout_s": probe_timeout})
+        if i + 1 < attempts:
+            time.sleep(retry_sleep)
+    return False, log
+
+
+def emit_unavailable(metric: str, probe_log) -> None:
+    """Structured failure record: the driver's BENCH artifact must parse even
+    through a backend outage (round-2 lesson: BENCH_r02.json was a raw
+    traceback, rc=1 — see VERDICT.md Weak #1).  Exit code stays 0; the
+    ``error`` field is the signal."""
+    print(json.dumps({
+        "metric": metric,
+        "value": None,
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "error": "tpu_unavailable",
+        "probe": probe_log,
+        "note": "axon TPU backend did not answer a bounded probe; "
+                "see TPU_RUNS_r03.log / scripts/tpu_queue.sh for the "
+                "auto-queued measurement runner",
+    }))
+
+
 def peak_tflops_per_sec():
     """bf16 peak of the current device (None when unknown, e.g. CPU)."""
     import jax
@@ -510,10 +567,6 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         job = 4 if n % 4 == 0 else (2 if n % 2 == 0 else 1)
         mesh_inv = pm.make_mesh(n, job=job)
         mesh_comp = pm.make_mesh(n)
-        # GSPMD cannot shard a pallas_call: XLA attention under a mesh
-        from mvoc_tpu.ops import attention as _attn
-
-        _attn.DISABLE_FOR_MESH = True
 
     def mk(*shape):
         return jnp.asarray(rng.standard_normal(shape), dtype=dtype)
@@ -540,12 +593,22 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             p))(params)
     ddim = DDIM(SchedulerConfig())
-    if reuse_depth:
-        # partial-depth encoder reuse (inert unless caching kwargs are used)
-        apply = lambda p, **kw: model.apply(
-            p, **kw, encoder_reuse_depth=int(reuse_depth))
-    else:
-        apply = lambda p, **kw: model.apply(p, **kw)
+
+    def make_apply(mesh):
+        # per-stage model: the stage's mesh is threaded through the config so
+        # Pallas kernels dispatch inside shard_map over it (params unchanged)
+        import dataclasses as _dc
+
+        m = (I2VGenXLUNet(_dc.replace(cfg, attn_mesh=mesh), dtype=dtype)
+             if mesh is not None else model)
+        if reuse_depth:
+            # partial-depth encoder reuse (inert unless caching kwargs used)
+            return lambda p, **kw: m.apply(
+                p, **kw, encoder_reuse_depth=int(reuse_depth))
+        return lambda p, **kw: m.apply(p, **kw)
+
+    apply = make_apply(mesh_inv)
+    apply_comp = make_apply(mesh_comp)
 
     # --- stage 1: 3 inversions (bg + 2 objects) -------------------------
     # the scan runs in CHUNKS of bounded wall-time per XLA execution: a
@@ -676,7 +739,7 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             condN, image_latents_first=svc(condN.image_latents_first, 1),
             image_latents=svc(condN.image_latents, 1))
     compose_fn = jax.jit(lambda p, lat, c, s: core.pnp_composite_core(
-        apply, ddim, p, lat, c, s, jnp.asarray(masks), pyr, pyr,
+        apply_comp, ddim, p, lat, c, s, jnp.asarray(masks), pyr, pyr,
         num_inference_steps=compose_steps, guidance_scale=9.0,
         random_noise_ratio=0.5, two_pass="stream" if stream else False,
         capture_weights=cw, **comp_kw))
@@ -736,7 +799,7 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", choices=["smoke", "full", "full720", "long64",
-                                         "e2e"],
+                                         "e2e", "quality"],
                     default="full")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--reuse", type=int, default=1,
@@ -788,6 +851,26 @@ def main():
         # JAX_PLATFORMS env var is too late — switch via config before any
         # backend use (CI / TPU-outage fallback)
         jax.config.update("jax_platforms", "cpu")
+    elif not os.environ.get("MVOC_BENCH_NO_PROBE"):
+        # bounded liveness probe BEFORE any in-process backend use: during an
+        # axon outage jax.devices() hangs forever, which round 2 proved turns
+        # the bench artifact into a timeout/traceback.  Virtual-mesh e2e runs
+        # and the CPU-scale quality preset don't need the real backend.
+        needs_tpu = not (args.preset == "quality"
+                         or (args.preset == "e2e" and args.mesh
+                             and args.mesh > 1))
+        if needs_tpu:
+            ok, probe_log = probe_backend()
+            if not ok:
+                base = {
+                    "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
+                    "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
+                    "long64": "composite_denoise_steps_per_sec_per_chip_64f_512px_window16",
+                    "smoke": "composite_denoise_steps_per_sec_smoke",
+                    "e2e": "e2e_invert3x500_compose50_wall_seconds",
+                }[args.preset]
+                emit_unavailable(base, probe_log)
+                return 0
 
     if (args.preset == "full" and not args.two_pass and not args.stream
             and not args.natural and args.reuse == 1 and args.pab == 1
@@ -798,6 +881,28 @@ def main():
         # explicit flags to measure other modes.
         args.stream = True
         args.natural = True
+
+    if args.preset == "quality":
+        # exact-vs-approximate latent drift per acceleration knob at
+        # CPU-tractable tiny scale (VERDICT r2 directive #3).  Metric value =
+        # the WORST composite-mode latent PSNR (higher is better); the full
+        # per-mode table rides in "modes".  Runs on CPU or TPU (tiny shapes).
+        from mvoc_tpu.utils.quality import approx_quality_report
+
+        report = approx_quality_report()
+        worst = min(v["psnr_db"] for k, v in report.items()
+                    if not k.startswith("inv_"))
+        print(json.dumps({
+            "metric": "approx_mode_worst_latent_psnr_tiny",
+            "value": round(worst, 2),
+            "unit": "dB",
+            "vs_baseline": None,
+            "modes": report,
+            "note": "tiny-scale random-weight drift of each approximate "
+                    "mode vs its exact baseline (algorithmic cache-wiring "
+                    "check; visual quality needs real weights)",
+        }))
+        return
 
     if args.preset == "e2e":
         # natural (frame-major) temporal layout is exact and measured faster

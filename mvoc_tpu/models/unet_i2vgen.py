@@ -54,6 +54,7 @@ from mvoc_tpu.models.layers import (
     Transformer2DModel,
     TransformerTemporalModel,
     Upsample2D,
+    effective_natural_layout,
     timestep_embedding,
 )
 
@@ -90,9 +91,14 @@ class UNetConfig:
     # edits run in the same layout via _temporal_qk_edit_natural — exact.
     temporal_natural_layout: bool = False
     # context parallelism for temporal attention over the mesh "seq" axis:
-    # ("ring"|"ulysses", Mesh).  Exact; standard layout only (see
-    # layers.TransformerTemporalModel.context_parallel).
+    # ("ring"|"ulysses", Mesh).  Exact; when combined with
+    # temporal_natural_layout, CP wins and the temporal transformers run the
+    # standard layout (layers.effective_natural_layout).
     temporal_cp: Optional[Any] = None
+    # the active multi-device mesh (pipeline.enable_mesh threads it here):
+    # Pallas attention kernels then dispatch inside shard_map over this mesh
+    # (ops/attention.sharded_*) instead of falling back to XLA attention.
+    attn_mesh: Optional[Any] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -196,6 +202,7 @@ class CrossAttnDownBlock3D(nn.Module):
     temporal_window: Optional[int] = None
     temporal_natural_layout: bool = False
     temporal_cp: Optional[Any] = None
+    attn_mesh: Optional[Any] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -213,6 +220,7 @@ class CrossAttnDownBlock3D(nn.Module):
             x = Transformer2DModel(
                 self.out_channels, self.heads, self.dim_head, self.cross_attention_dim,
                 norm_num_groups=self.norm_num_groups, ff_chunk_rows=self.ff_chunk_rows,
+                attn_mesh=self.attn_mesh,
                 dtype=self.dtype, name=f"attentions_{i}",
             )(x, context)
             x = TransformerTemporalModel(
@@ -222,6 +230,7 @@ class CrossAttnDownBlock3D(nn.Module):
                 natural_layout=self.temporal_natural_layout,
                 context_parallel=self.temporal_cp[0] if self.temporal_cp else None,
                 cp_mesh=self.temporal_cp[1] if self.temporal_cp else None,
+                attn_mesh=self.attn_mesh,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames)
             res_samples.append(x)
@@ -243,6 +252,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     temporal_window: Optional[int] = None
     temporal_natural_layout: bool = False
     temporal_cp: Optional[Any] = None
+    attn_mesh: Optional[Any] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -258,6 +268,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
             x = Transformer2DModel(
                 self.channels, self.heads, self.dim_head, self.cross_attention_dim,
                 norm_num_groups=self.norm_num_groups, ff_chunk_rows=self.ff_chunk_rows,
+                attn_mesh=self.attn_mesh,
                 dtype=self.dtype, name=f"attentions_{i}",
             )(x, context)
             x = TransformerTemporalModel(
@@ -267,6 +278,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 natural_layout=self.temporal_natural_layout,
                 context_parallel=self.temporal_cp[0] if self.temporal_cp else None,
                 cp_mesh=self.temporal_cp[1] if self.temporal_cp else None,
+                attn_mesh=self.attn_mesh,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames)
             x = ResnetBlock2D(
@@ -514,6 +526,7 @@ class CrossAttnUpBlock3D(nn.Module):
     temporal_window: Optional[int] = None
     temporal_natural_layout: bool = False
     temporal_cp: Optional[Any] = None
+    attn_mesh: Optional[Any] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -543,6 +556,7 @@ class CrossAttnUpBlock3D(nn.Module):
             x = Transformer2DModel(
                 self.out_channels, self.heads, self.dim_head, self.cross_attention_dim,
                 norm_num_groups=self.norm_num_groups, ff_chunk_rows=self.ff_chunk_rows,
+                attn_mesh=self.attn_mesh,
                 dtype=self.dtype, name=f"attentions_{i}",
             )(x, context,
               attn1_qk_edit=_spatial_qk_edit(
@@ -557,11 +571,14 @@ class CrossAttnUpBlock3D(nn.Module):
                 natural_layout=self.temporal_natural_layout,
                 context_parallel=self.temporal_cp[0] if self.temporal_cp else None,
                 cp_mesh=self.temporal_cp[1] if self.temporal_cp else None,
+                attn_mesh=self.attn_mesh,
                 dtype=self.dtype, name=f"temp_attentions_{i}",
             )(x, num_frames,
               attn1_qk_edit=_temporal_qk_edit(
                   pnp, hcur, wcur, f"temporal_{self.block_index}_{i}", capture,
-                  natural=self.temporal_natural_layout)
+                  natural=effective_natural_layout(
+                      self.temporal_natural_layout,
+                      self.temporal_cp[0] if self.temporal_cp else None))
               if i in temporal_sites else None,
               pab=(pab_cache, pab_rec, f"tm{self.block_index}_{i}")
               if pab_on else None)
@@ -577,6 +594,7 @@ class ImageLatentsTemporalEncoder(nn.Module):
     dim: int
     heads: int
     head_dim: Optional[int] = None  # None -> dim (diffusers default wiring)
+    attn_mesh: Optional[Any] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -585,6 +603,7 @@ class ImageLatentsTemporalEncoder(nn.Module):
         h = Attention(
             query_dim=self.dim, heads=self.heads,
             dim_head=self.head_dim or self.dim,
+            attn_mesh=self.attn_mesh,
             dtype=self.dtype, name="attn1",
         )(h)
         x = h + x
@@ -720,7 +739,8 @@ class I2VGenXLUNet(nn.Module):
         ilf = ilf.reshape(b, f, h, w, c_in).transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c_in)
         ilf = ImageLatentsTemporalEncoder(
             dim=c_in, heads=cfg.img_temporal_encoder_heads,
-            head_dim=cfg.img_temporal_encoder_head_dim, dtype=self.dtype,
+            head_dim=cfg.img_temporal_encoder_head_dim,
+            attn_mesh=cfg.attn_mesh, dtype=self.dtype,
             name="image_latents_temporal_encoder",
         )(ilf)
         ilf = ilf.reshape(b, h, w, f, c_in).transpose(0, 3, 1, 2, 4).reshape(b * f, h, w, c_in)
@@ -739,6 +759,7 @@ class I2VGenXLUNet(nn.Module):
                 norm_num_groups=cfg.norm_num_groups, window=cfg.temporal_window,
                 ff_chunk_rows=cfg.ff_chunk_rows,
                 natural_layout=cfg.temporal_natural_layout,
+                attn_mesh=cfg.attn_mesh,
                 dtype=self.dtype, name="transformer_in",
             )(x, f)
 
@@ -756,7 +777,7 @@ class I2VGenXLUNet(nn.Module):
                         norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                         temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
                         temporal_natural_layout=cfg.temporal_natural_layout,
-                        temporal_cp=cfg.temporal_cp,
+                        temporal_cp=cfg.temporal_cp, attn_mesh=cfg.attn_mesh,
                         dtype=self.dtype, name=f"down_blocks_{i}",
                     )(x, emb, context, f)
                 else:  # DownBlock3D
@@ -786,7 +807,7 @@ class I2VGenXLUNet(nn.Module):
                 norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                 temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
                 temporal_natural_layout=cfg.temporal_natural_layout,
-                temporal_cp=cfg.temporal_cp,
+                temporal_cp=cfg.temporal_cp, attn_mesh=cfg.attn_mesh,
                 dtype=self.dtype, name="mid_block",
             )(x, emb, context, f)
             if depth is not None:
@@ -830,7 +851,7 @@ class I2VGenXLUNet(nn.Module):
                     norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
                     temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
                     temporal_natural_layout=cfg.temporal_natural_layout,
-                    temporal_cp=cfg.temporal_cp,
+                    temporal_cp=cfg.temporal_cp, attn_mesh=cfg.attn_mesh,
                     block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
                 )(x, res, emb, context, f, upsample_size, pnp, freeu, capture,
                   pab_cache=pab_cache, pab_rec=pab_rec)

@@ -32,13 +32,6 @@ NEG_INF = float(-1e30)
 # dispatch threshold: below this seq length the XLA path wins
 FLASH_MIN_SEQ = 1024
 
-# Set True (pipeline.enable_mesh does) to route ALL attention through the
-# XLA paths: under a >1-device GSPMD mesh a pallas_call is an opaque
-# custom-call the SPMD partitioner cannot shard — XLA would force
-# replication/all-gathers around it.  The XLA attention paths partition
-# cleanly.  Wrapping the kernels in shard_map is the planned lift.
-DISABLE_FOR_MESH = False
-
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_k: int, scale: float):
     """One (batch*heads, q-block) program: stream K/V blocks, online softmax.
@@ -311,10 +304,20 @@ def frame_attention(
     return out.reshape(b, f, s, inner)
 
 
+def env_interpret() -> bool:
+    """MVOC_PALLAS_INTERPRET=1 runs the kernels in Pallas interpret mode —
+    the CI/virtual-CPU-mesh switch that lets the sharded-kernel dispatch
+    path execute (and be parity-tested) without TPU hardware."""
+    return bool(os.environ.get("MVOC_PALLAS_INTERPRET"))
+
+
 def use_frame_kernel() -> bool:
-    """Dispatch policy for the Pallas frame-attention kernel (TPU only)."""
-    if os.environ.get("MVOC_DISABLE_FLASH") or DISABLE_FOR_MESH:
+    """Dispatch policy for the Pallas frame-attention kernel (TPU only;
+    MVOC_PALLAS_INTERPRET force-enables for CPU-mesh tests)."""
+    if os.environ.get("MVOC_DISABLE_FLASH"):
         return False
+    if env_interpret():
+        return True
     try:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:  # pragma: no cover
@@ -325,10 +328,127 @@ def use_flash(seq_q: int, seq_k: int, d: int) -> bool:
     """Dispatch policy: flash whenever the QUERY sequence is long — both
     long self-attention (sk == sq) and cross-attention (sk = 145 context
     tokens, where the win is keeping the [sq, sk] softmax in VMEM)."""
-    if os.environ.get("MVOC_DISABLE_FLASH") or DISABLE_FOR_MESH:
+    if os.environ.get("MVOC_DISABLE_FLASH"):
         return False
+    if env_interpret():
+        return seq_q >= FLASH_MIN_SEQ
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:  # pragma: no cover
         return False
     return platform == "tpu" and seq_q >= FLASH_MIN_SEQ
+
+
+# ---------------------------------------------------------------------------
+# shard_map wrappers: the kernels under a multi-device mesh
+# ---------------------------------------------------------------------------
+#
+# A pallas_call is an opaque custom-call the GSPMD partitioner cannot shard —
+# left inside a >1-device jit it forces replication/all-gathers around the
+# hottest op in the model.  These wrappers instead run the kernel INSIDE
+# shard_map: GSPMD reshards q/k/v to an explicitly chosen layout (batch/head/
+# pixel axes split across the mesh), every device runs the kernel on its
+# local block, and the surrounding program keeps its own shardings.  Both
+# attention families are embarrassingly parallel along the chosen axes —
+# spatial flash over (batch*frames, heads) rows, frame attention over pixels
+# — so the kernel region itself is communication-free; the reshard in/out
+# rides ICI exactly like the collectives GSPMD already inserts around the
+# XLA attention path.  (Reference keeps fused SDPA always on through torch:
+# pnp_utils.py:684-686, 862-864.)
+
+
+def _shard_map(**kwargs):
+    fn = getattr(jax, "shard_map", None)
+    if fn is None:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as fn
+    # a pallas_call's out_shape carries no varying-mesh-axes (vma) type, so
+    # shard_map's replication checker cannot verify it — disable the check
+    # for these kernel-only bodies (every output IS varying over the axes
+    # its in_specs name; there is no cross-device invariant to verify)
+    import inspect
+
+    params = inspect.signature(fn).parameters
+    flag = "check_vma" if "check_vma" in params else "check_rep"
+    return functools.partial(fn, **{flag: False}, **kwargs)
+
+
+def _assign_mesh_axes(mesh, dim_sizes: list[int]) -> list[tuple[str, ...]]:
+    """Greedily assign mesh axes to tensor dims (in priority order).
+
+    Each mesh axis (size > 1) goes to the FIRST dim it divides evenly given
+    what's already assigned to that dim; axes that divide nothing are left
+    unused (the kernel then runs replicated across them — correct, no
+    speedup on that axis).  Returns per-dim axis-name tuples."""
+    assigned: list[list[str]] = [[] for _ in dim_sizes]
+    used: list[int] = [1] * len(dim_sizes)
+    for name in mesh.axis_names:
+        size = mesh.shape[name]
+        if size <= 1:
+            continue
+        for i, dim in enumerate(dim_sizes):
+            if dim % (used[i] * size) == 0:
+                assigned[i].append(name)
+                used[i] *= size
+                break
+    return [tuple(a) for a in assigned]
+
+
+def sharded_flash_attention(
+    q: jax.Array,  # [B, H, Sq, D]
+    k: jax.Array,  # [B, H, Sk, D]
+    v: jax.Array,
+    mesh,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention with (batch, heads, then query-blocks) split over the
+    mesh.  Exact: every (b, h) row's attention is independent, and when the
+    query axis is split each device still streams the FULL K/V (flash reads
+    them blockwise anyway)."""
+    from jax.sharding import PartitionSpec as P
+
+    b, h, sq, d = q.shape
+    b_ax, h_ax, q_ax = _assign_mesh_axes(mesh, [b, h, sq])
+    qspec = P(b_ax or None, h_ax or None, q_ax or None, None)
+    kvspec = P(b_ax or None, h_ax or None, None, None)  # full K/V per device
+    fn = _shard_map()(
+        lambda qq, kk, vv: flash_attention(qq, kk, vv, interpret=interpret),
+        mesh=mesh, in_specs=(qspec, kvspec, kvspec), out_specs=qspec)
+    return fn(q, k, v)
+
+
+def sharded_frame_attention(
+    q: jax.Array,  # [B, F, S, H*D] (natural) or [S, F, H*D] (sf_layout)
+    k: jax.Array,
+    v: jax.Array,
+    f: int,
+    heads: int,
+    bias: jax.Array,  # [M, M] fp32, replicated
+    mesh,
+    sf_layout: bool = False,
+    interpret: bool = False,
+    fold: int = 0,
+) -> jax.Array:
+    """Frame (temporal) attention with the PIXEL axis split over the mesh.
+
+    Temporal attention is per-pixel independent, so pixel sharding is
+    communication-free inside the kernel; the frame axis stays FULL on every
+    device (the activation arrives frame-sharded under the pipeline's "seq"
+    layout — GSPMD's reshard here is the same all-to-all-class movement the
+    XLA temporal path needs)."""
+    from jax.sharding import PartitionSpec as P
+
+    if sf_layout:
+        s = q.shape[0]
+        (s_ax,) = _assign_mesh_axes(mesh, [s])
+        spec = P(s_ax or None, None, None)
+    else:
+        b, _, s, _ = q.shape
+        s_ax, b_ax = _assign_mesh_axes(mesh, [s, b])
+        spec = P(b_ax or None, None, s_ax or None, None)
+    fn = _shard_map()(
+        lambda qq, kk, vv, bb: frame_attention(
+            qq, kk, vv, f, heads, bb, sf_layout=sf_layout,
+            interpret=interpret, fold=fold),
+        mesh=mesh, in_specs=(spec, spec, spec, P(None, None)),
+        out_specs=spec)
+    return fn(q, k, v, bias)

@@ -102,11 +102,19 @@ class I2VGenXLPipeline:
         mesh = pm.make_mesh(n_devices, seq=seq, devices=devices, job=job)
         self.mesh = mesh
         if mesh.size > 1:
-            # GSPMD cannot shard a pallas_call (opaque custom-call): route
-            # attention through the XLA paths, which partition cleanly
-            from mvoc_tpu.ops import attention as _attn
+            # thread the mesh into the UNet config: Pallas attention kernels
+            # then dispatch inside shard_map over it (ops/attention.sharded_*)
+            # instead of being left as opaque custom-calls GSPMD would
+            # replicate around.  Config-threaded, not a process global — one
+            # pipeline's mesh cannot affect another's dispatch.
+            import dataclasses
 
-            _attn.DISABLE_FOR_MESH = True
+            from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet
+
+            self.unet = I2VGenXLUNet(
+                dataclasses.replace(self.unet.config, attn_mesh=mesh),
+                dtype=self.unet.dtype)
+            self._build_jits()
         self.params = dict(self.params)
         self.params["unet"] = pm.shard_params(self.params["unet"], mesh)
         for k in ("vae", "text_encoder", "image_encoder"):
@@ -120,9 +128,15 @@ class I2VGenXLPipeline:
             dev = jax.devices()[0]
             self.params = jax.device_put(self.params, dev)
             self.mesh = None
-            from mvoc_tpu.ops import attention as _attn
+            if self.unet.config.attn_mesh is not None:
+                import dataclasses
 
-            _attn.DISABLE_FOR_MESH = False
+                from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet
+
+                self.unet = I2VGenXLUNet(
+                    dataclasses.replace(self.unet.config, attn_mesh=None),
+                    dtype=self.unet.dtype)
+                self._build_jits()
         return self
 
     def _shard_video(self, x: jax.Array, frame_axis: int = 0) -> jax.Array:
@@ -680,7 +694,7 @@ class I2VGenXLPipeline:
     # entry point B: PnP composite sampling
     # ------------------------------------------------------------------
 
-    def sample_composite(
+    def _prepare_composite(
         self,
         prompt: str,
         main_first_image: Image.Image,
@@ -722,10 +736,13 @@ class I2VGenXLPipeline:
         prompt_embeds: Optional[jax.Array] = None,
         negative_prompt_embeds: Optional[jax.Array] = None,
         ddim_inv_prompt_embeds: Optional[jax.Array] = None,
+        shard: bool = True,
     ):
-        """The MVOC composite sampler (reference:
-        sample_with_pnp_pipeline_with_edit_prompt_extraction_with_attn_injection,
-        pipeline_i2vgen_xl.py:1220-1748 + composite.py:38-69 init_pnp)."""
+        """Host-side prep shared by sample_composite / sample_composite_batch
+        (reference prep: pipeline_i2vgen_xl.py:1335-1599 + composite.py:38-69
+        init_pnp).  Returns (init_latents, cond, sched, masks_soft, pyr_bin,
+        pyr_soft, capture_weights); shard=False skips mesh placement (the
+        batch path shards the STACKED pytrees instead)."""
         self.check_inputs(height, width, num_frames, prompt=prompt,
                           prompt_embeds=prompt_embeds,
                           negative_prompt=negative_prompt,
@@ -764,14 +781,11 @@ class I2VGenXLPipeline:
         first_lats = jnp.stack([bg_fl, *obj_fls, main_fl, main_fl])  # [N+3, ...]
 
         # --- context image latents per branch (reference :1479-1499; frame 0
-        # of each branch's control frames)
-        def ctx_lat(img, k):
-            return first_lat(img, k)
-
-        bg_cl = ctx_lat(background_image_list[0], k_enc[0])
-        obj_cls = [ctx_lat(objs_image_list[j][0], k_enc[1 + j]) for j in range(n_obj)]
-        main_cl = ctx_lat(main_first_image, k_enc[1 + n_obj])
-        ctx_lats = jnp.stack([bg_cl, *obj_cls, main_cl, main_cl])
+        # of each branch's control frames).  Those are the SAME images with
+        # the SAME sampling keys as the first-frame latents above — the
+        # reference encodes them twice and gets bit-identical tensors; we
+        # alias instead of re-running N+3 VAE encodes (exact).
+        ctx_lats = first_lats
 
         # --- per-frame CLIP image embeddings per branch (reference :1501-1541;
         # strict_reference_crop replicates the discarded-crop quirk)
@@ -822,10 +836,11 @@ class I2VGenXLPipeline:
             for k, v in pnp_lib.build_mask_pyramid(masks_soft, resolutions).items()
         }
 
+        sv = self._shard_video if shard else (lambda x, a: x)
         sched = core.CompositeSchedule(
-            bg_traj=self._shard_video(jnp.asarray(bg_traj, dtype=jnp.float32), 1),
-            obj_traj=self._shard_video(jnp.asarray(obj_traj, dtype=jnp.float32), 2),
-            obj_fusion_lat=self._shard_video(
+            bg_traj=sv(jnp.asarray(bg_traj, dtype=jnp.float32), 1),
+            obj_traj=sv(jnp.asarray(obj_traj, dtype=jnp.float32), 2),
+            obj_fusion_lat=sv(
                 jnp.asarray(obj_fusion_lat, dtype=jnp.float32), 1),
             gate_spatial=jnp.asarray(gates["spatial"]),
             gate_temporal=jnp.asarray(gates["temporal"]),
@@ -833,9 +848,10 @@ class I2VGenXLPipeline:
             fusion_mask=jnp.asarray(fusion_mask),
             timesteps=jnp.asarray(run_ts),
         )
-        cond = self._shard_cond(cond)
+        if shard:
+            cond = self._shard_cond(cond)
 
-        init_latents = self._shard_video(
+        init_latents = sv(
             self.prepare_latents(num_frames, height, width, k_lat), 0)
 
         stream = two_pass == "stream"
@@ -844,32 +860,138 @@ class I2VGenXLPipeline:
             capture_weights = pnp_lib.build_capture_weights(
                 pyr_bin, pyr_soft, inject_background)
 
+        return (init_latents, cond, sched,
+                jnp.asarray(masks_soft, dtype=jnp.float32),
+                pyr_bin, pyr_soft, capture_weights)
+
+    def _composite_core_kwargs(
+        self, num_inference_steps, guidance_scale, random_noise_ratio,
+        obj_random_noise_fusion, inject_background, encoder_reuse_interval,
+        two_pass, pab_interval, capture_reuse_interval, capture_reuse_deep,
+    ):
+        """The STATIC composite-core knobs (shared across a batched group)."""
+        return dict(
+            num_inference_steps=num_inference_steps,
+            guidance_scale=float(guidance_scale),
+            random_noise_ratio=float(random_noise_ratio),
+            obj_random_noise_fusion=obj_random_noise_fusion,
+            inject_background=inject_background,
+            encoder_reuse_interval=int(encoder_reuse_interval),
+            two_pass=two_pass,
+            pab_interval=int(pab_interval),
+            capture_reuse_interval=int(capture_reuse_interval),
+            capture_reuse_deep=bool(capture_reuse_deep),
+        )
+
+    def sample_composite(self, *args, **kwargs):
+        """The MVOC composite sampler (reference:
+        sample_with_pnp_pipeline_with_edit_prompt_extraction_with_attn_injection,
+        pipeline_i2vgen_xl.py:1220-1748 + composite.py:38-69 init_pnp).
+        Same argument surface as _prepare_composite."""
+        decode = kwargs.pop("decode", True)
+        decode_chunk_size = kwargs.pop("decode_chunk_size", 1)
+        static = self._composite_core_kwargs(
+            kwargs.get("num_inference_steps", 50),
+            kwargs.get("guidance_scale", 9.0),
+            kwargs.get("random_noise_ratio", 0.0),
+            kwargs.get("obj_random_noise_fusion", False),
+            kwargs.get("inject_background", True),
+            kwargs.get("encoder_reuse_interval", 1),
+            kwargs.get("two_pass", False),
+            kwargs.get("pab_interval", 1),
+            kwargs.get("capture_reuse_interval", 1),
+            kwargs.get("capture_reuse_deep", False),
+        )
+        (init_latents, cond, sched, masks_soft, pyr_bin, pyr_soft,
+         capture_weights) = self._prepare_composite(*args, **kwargs)
+
         reuse_ua = self._reuse_unet_apply(
-            encoder_reuse_depth if encoder_reuse_interval > 1 else None)
+            kwargs.get("encoder_reuse_depth")
+            if static["encoder_reuse_interval"] > 1 else None)
         composite_fn = jax.jit(
             lambda p, lat, c, s, ms: core.pnp_composite_core(
                 reuse_ua, self.ddim, p, lat, c, s, ms,
                 pyr_bin, pyr_soft,
-                num_inference_steps=num_inference_steps,
-                guidance_scale=float(guidance_scale),
-                random_noise_ratio=float(random_noise_ratio),
-                obj_random_noise_fusion=obj_random_noise_fusion,
-                inject_background=inject_background,
-                encoder_reuse_interval=int(encoder_reuse_interval),
-                two_pass=two_pass,
                 capture_weights=capture_weights,
-                pab_interval=int(pab_interval),
-                capture_reuse_interval=int(capture_reuse_interval),
-                capture_reuse_deep=bool(capture_reuse_deep),
+                **static,
             )
         )
         final = composite_fn(
-            self.params["unet"], init_latents, cond, sched,
-            jnp.asarray(masks_soft, dtype=jnp.float32),
-        )
+            self.params["unet"], init_latents, cond, sched, masks_soft)
         if not decode:
             return final
         return self.decode_latents(final, decode_chunk_size=decode_chunk_size)
+
+    def sample_composite_batch(self, entries, decode=True,
+                               decode_chunk_size: Optional[int] = 1,
+                               **shared_kwargs):
+        """J independent composites as ONE (vmapped) program — the stage-2
+        analogue of invert_batch (the reference loops entries serially:
+        composite.py:87).
+
+        entries: per-entry kwargs dicts for _prepare_composite (prompt,
+        images, masks, stores, seed, ...).  shared_kwargs: the static knobs
+        every entry shares (steps, guidance, two_pass, reuse intervals —
+        the CLI groups entries by exactly these).  Under a mesh the entry
+        axis shards over "job" and frame axes over "seq".  Returns a list of
+        per-entry videos (decoded) or a [J, F, h, w, C] latents array."""
+        assert len(entries) >= 1
+        static = self._composite_core_kwargs(
+            shared_kwargs.get("num_inference_steps", 50),
+            shared_kwargs.get("guidance_scale", 9.0),
+            shared_kwargs.get("random_noise_ratio", 0.0),
+            shared_kwargs.get("obj_random_noise_fusion", False),
+            shared_kwargs.get("inject_background", True),
+            shared_kwargs.get("encoder_reuse_interval", 1),
+            shared_kwargs.get("two_pass", False),
+            shared_kwargs.get("pab_interval", 1),
+            shared_kwargs.get("capture_reuse_interval", 1),
+            shared_kwargs.get("capture_reuse_deep", False),
+        )
+        prepared = [
+            self._prepare_composite(shard=False, **shared_kwargs, **e)
+            for e in entries
+        ]
+        stack = lambda i: jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[p[i] for p in prepared])
+        init_latents, cond, sched, masks_soft = (stack(i) for i in range(4))
+        pyr_bin, pyr_soft = stack(4), stack(5)
+        capture_weights = (stack(6) if prepared[0][6] is not None else None)
+
+        if self.mesh is not None:
+            from mvoc_tpu.parallel import mesh as pm
+
+            ssv = lambda t, fa: pm.shard_stacked_video(
+                t, self.mesh, job_axis=0, frame_axis=fa)
+            init_latents = ssv(init_latents, 1)
+            import dataclasses as _dc
+
+            sched = _dc.replace(
+                sched,
+                bg_traj=ssv(sched.bg_traj, 2),
+                obj_traj=ssv(sched.obj_traj, 3),
+                obj_fusion_lat=ssv(sched.obj_fusion_lat, 2),
+            )
+            cond = _dc.replace(
+                cond,
+                image_latents_first=ssv(cond.image_latents_first, 2),
+                image_latents=ssv(cond.image_latents, 2),
+            )
+
+        reuse_ua = self._reuse_unet_apply(
+            shared_kwargs.get("encoder_reuse_depth")
+            if static["encoder_reuse_interval"] > 1 else None)
+        batch_fn = jax.jit(
+            lambda p, lat, c, s, ms, pb, ps, cw: core.pnp_composite_batch_core(
+                reuse_ua, self.ddim, p, lat, c, s, ms, pb, ps,
+                capture_weights=cw, **static))
+        final = batch_fn(self.params["unet"], init_latents, cond, sched,
+                         masks_soft, pyr_bin, pyr_soft, capture_weights)
+        if not decode:
+            return final
+        return [self.decode_latents(final[j],
+                                    decode_chunk_size=decode_chunk_size)
+                for j in range(final.shape[0])]
 
     def _reuse_unet_apply(self, depth: Optional[int]):
         """unet_apply with the partial-depth reuse bound (no-op when

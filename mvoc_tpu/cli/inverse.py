@@ -150,7 +150,21 @@ def run_entry(pipe, config) -> None:
         logger.info("inversion done: %d steps -> %s", len(ts), out_dir)
 
     recon = config.get("recon_config")
-    if recon is not None and recon.get("enable_recon", False):
+    recon_on = recon is not None and recon.get("enable_recon", False)
+    if (inv.get("deep_reuse", False)
+            or inv.get("encoder_reuse_interval", 1) > 1) and not recon_on:
+        # deep_reuse / encoder reuse APPROXIMATE the inverted trajectory that
+        # every downstream stage consumes — quantified drift bounds exist only
+        # at tiny scale (utils/quality.approx_quality_report); nudge the user
+        # toward the PSNR/SSIM reconstruction gate on their actual content.
+        logger.warning(
+            "inverse_config enables approximate inversion (deep_reuse=%s, "
+            "encoder_reuse_interval=%s) but recon_config.enable_recon is "
+            "off — enable it to score reconstruction PSNR/SSIM and verify "
+            "the approximation is acceptable for this content",
+            inv.get("deep_reuse", False),
+            inv.get("encoder_reuse_interval", 1))
+    if recon_on:
         from mvoc_tpu.ops.ddim import sampling_timesteps
         import jax.numpy as jnp
 

@@ -38,8 +38,10 @@ def parse_args(default_template: str):
     )
     p.add_argument(
         "--batch", action="store_true",
-        help="(inverse) invert all uncached same-signature videos as one "
-        "batched scan — the UNet batch axis / mesh 'job' axis carries them",
+        help="batch same-signature entries as one program: (inverse) all "
+        "uncached videos ride the UNet batch axis as one scan; (composite) "
+        "matching group-config entries ride a vmapped job axis — both shard "
+        "over the mesh 'job' axis under --mesh",
     )
     p.add_argument(
         "--mesh_seq", type=int, default=None,

@@ -728,3 +728,45 @@ def pnp_composite_core(
 
     final, _ = jax.lax.scan(body, init_latents, xs)
     return final
+
+
+def pnp_composite_batch_core(
+    unet_apply: Callable,
+    ddim: DDIM,
+    unet_params,
+    init_latents: jax.Array,          # [J, F, h, w, C] — J independent jobs
+    cond: UNetConditioning,           # leading axis J (then N+3 branches)
+    sched: CompositeSchedule,         # every field with leading axis J
+    masks_soft: jax.Array,            # [J, N, F, h, w]
+    masks_binary_pyramid,             # dict[(h, w)] -> [J, N, F, h', w']
+    masks_soft_pyramid,
+    capture_weights=None,             # leading axis J on every leaf (stream)
+    **kwargs,
+) -> jax.Array:
+    """J independent composites as ONE vmapped program (the stage-2 analogue
+    of ddim_inversion_batch_core).
+
+    The reference runs group-config entries through a serial Python loop
+    (reference: composite.py:87); here entries with matching signatures ride
+    a leading J axis — vmap lifts the whole composite scan, so one chip
+    batches the MXU work across entries and under a (job, seq, model) mesh
+    the J axis shards over "job" (pure DP: zero cross-entry communication).
+    All static knobs (steps, guidance, two_pass, reuse intervals) are shared
+    — that's the batching contract the CLI groups by.  Returns
+    [J, F, h, w, C]."""
+    if capture_weights is not None:
+        def one(lat, c, s, ms, pb, ps, cw):
+            return pnp_composite_core(
+                unet_apply, ddim, unet_params, lat, c, s, ms, pb, ps,
+                capture_weights=cw, **kwargs)
+
+        return jax.vmap(one)(init_latents, cond, sched, masks_soft,
+                             masks_binary_pyramid, masks_soft_pyramid,
+                             capture_weights)
+
+    def one(lat, c, s, ms, pb, ps):
+        return pnp_composite_core(
+            unet_apply, ddim, unet_params, lat, c, s, ms, pb, ps, **kwargs)
+
+    return jax.vmap(one)(init_latents, cond, sched, masks_soft,
+                         masks_binary_pyramid, masks_soft_pyramid)

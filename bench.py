@@ -842,6 +842,10 @@ def main():
     ap.add_argument("--res", type=int, choices=[512, 720], default=512,
                     help="(e2e) pixel resolution: 512 -> 64x64 latents, "
                     "720 -> the reference's 90x160 (1280x720)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the measured "
+                    "iterations into DIR and print the device-op breakdown "
+                    "(utils.profiling.device_op_breakdown) to stderr")
     args = ap.parse_args()
 
     import jax
@@ -937,14 +941,20 @@ def main():
         jax.block_until_ready((s, l))
         s, l = st_cached(params, s, l, gate, c)
         jax.block_until_ready((s, l))
+        from mvoc_tpu.utils import profiling as _prof
+
         t0 = _time.perf_counter()
-        for i in range(iters):
-            if i % k != 0:
-                s, l = st_cached(params, s, l, gate, c)
-            else:
-                s, l, c = st_fresh(params, s, l, gate)
-        jax.block_until_ready((s, l))
+        with _prof.trace(args.trace):
+            for i in range(iters):
+                if i % k != 0:
+                    s, l = st_cached(params, s, l, gate, c)
+                else:
+                    s, l, c = st_fresh(params, s, l, gate)
+            jax.block_until_ready((s, l))
         dt = _time.perf_counter() - t0
+        if args.trace:
+            print(json.dumps(_prof.device_op_breakdown(args.trace), indent=2),
+                  file=sys.stderr)
         costs = [(cost_flops(st_fresh, params, s, l, gate), 1.0 / k),
                  (cost_flops(st_cached, params, s, l, gate, c), (k - 1.0) / k)]
         print(json.dumps({
@@ -978,16 +988,22 @@ def main():
             jax.block_until_ready((s, l))
         import time as _time
 
+        from mvoc_tpu.utils import profiling as _prof
+
         t0 = _time.perf_counter()
-        for i in range(iters):
-            if st_cached is not None and i % args.reuse != 0:
-                s, l, c = st_cached(params, s, l, gate, c)
-            elif want_cache:
-                s, l, c = st(params, s, l, gate)
-            else:
-                s, l = st(params, s, l, gate)
-        jax.block_until_ready((s, l))
+        with _prof.trace(args.trace):
+            for i in range(iters):
+                if st_cached is not None and i % args.reuse != 0:
+                    s, l, c = st_cached(params, s, l, gate, c)
+                elif want_cache:
+                    s, l, c = st(params, s, l, gate)
+                else:
+                    s, l = st(params, s, l, gate)
+            jax.block_until_ready((s, l))
         dt = _time.perf_counter() - t0
+        if args.trace:
+            print(json.dumps(_prof.device_op_breakdown(args.trace), indent=2),
+                  file=sys.stderr)
         k = args.reuse
         costs = [(cost_flops(st, params, s, l, gate), 1.0 / k)]
         if st_cached is not None:

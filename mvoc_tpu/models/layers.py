@@ -94,14 +94,20 @@ class GroupNorm(nn.Module):
         # chain fuses with bf16 in/out.
         xf = x.astype(jnp.float32)
         mean_c = jnp.mean(xf, axis=spatial_axes)          # [B, C]
-        ex2_c = jnp.mean(xf * xf, axis=spatial_axes)      # [B, C]
         mean_g = mean_c.reshape(b, g, c // g).mean(axis=-1)
-        ex2_g = ex2_c.reshape(b, g, c // g).mean(axis=-1)
-        var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
-        inv_g = jax.lax.rsqrt(var_g + self.epsilon)
         mean_ch = jnp.repeat(mean_g, c // g, axis=-1)     # [B, C]
-        inv_ch = jnp.repeat(inv_g, c // g, axis=-1)
         bshape = (b,) + (1,) * len(spatial_axes) + (c,)
+        # Second pass: centered second moment E[(x-mu)^2].  One extra fused
+        # read of x vs the one-pass E[x^2]-E[x]^2 form, but immune to the
+        # catastrophic cancellation that form hits when |mean| >> std —
+        # real-checkpoint activations can sit there, and 500 inversion steps
+        # amplify any variance error.  The subtract fuses into the reduction
+        # (input fusion): still no full-size fp32 temp.
+        cen2_c = jnp.mean(
+            jnp.square(xf - mean_ch.reshape(bshape)), axis=spatial_axes)  # [B, C]
+        var_g = cen2_c.reshape(b, g, c // g).mean(axis=-1)
+        inv_g = jax.lax.rsqrt(var_g + self.epsilon)
+        inv_ch = jnp.repeat(inv_g, c // g, axis=-1)
         # fold scale/bias into per-channel fp32 coefficients, then do the
         # full-tensor arithmetic in the INPUT dtype: one fused multiply-add,
         # no full-size fp32 temps (torch fp16 GroupNorm behaves the same)

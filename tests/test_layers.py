@@ -45,6 +45,30 @@ def test_groupnorm_5d_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
 
+def test_groupnorm_large_mean_no_cancellation(rng):
+    """Activations with |mean| >> std (seen with real checkpoints) must not
+    lose the variance to cancellation.  The one-pass E[x^2]-E[x]^2 form fails
+    this (fp32 keeps ~7 digits; mean 1e3 / std 1e-2 leaves zero of the
+    variance; its output error here is O(1)); the two-pass centered form
+    stays within fp32 mean-summation rounding (~2e-2 at this 1e5 ratio)."""
+    base = rng.standard_normal((4, 9, 9, 16)).astype(np.float32)
+    x = (base * 1e-2 + 1e3).astype(np.float32)
+    gn = layers.GroupNorm(num_groups=4, epsilon=1e-5)
+    params = {"params": {"scale": jnp.ones(16), "bias": jnp.zeros(16)}}
+    out = gn.apply(params, jnp.asarray(x))
+
+    xt = torch.from_numpy(x).double().permute(0, 3, 1, 2)
+    ref = F.group_norm(xt, 4, torch.ones(16, dtype=torch.float64),
+                       torch.zeros(16, dtype=torch.float64), 1e-5)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2)
+    # the cancellation failure mode specifically: normalized group std stays
+    # O(1) (one-pass cancellation clamps var to ~0 -> rsqrt(eps) -> std ~3e2;
+    # fp32 mean rounding leaves a benign ~5% scale wobble here)
+    og = np.asarray(out, dtype=np.float64).reshape(4, -1, 4, 4)
+    np.testing.assert_allclose(og.std(axis=(1, 3)), 1.0, atol=0.1)
+
+
 def test_layernorm_matches_torch(rng):
     x = rng.standard_normal((3, 11, 32), dtype=np.float32)
     ln = layers.LayerNorm()

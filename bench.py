@@ -498,7 +498,8 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             compose_steps: int = 50, stream: bool = True,
             mesh_devices: int = 0, batch: bool = False, reuse: int = 1,
             reuse_depth=None, reuse_deep: bool = False,
-            capture_reuse: int = 1, capture_reuse_deep: bool = False):
+            capture_reuse: int = 1, capture_reuse_deep: bool = False,
+            inv_reuse: int = 0, inv_reuse_deep: bool = False):
     """End-to-end MVOC workflow wall-clock: DDIM-invert the background +
     2 object videos (500 steps each, cfg=1, like the reference's stage 1 —
     reference: group_inversion/template.yaml:30-34) then run the 50-step
@@ -615,10 +616,16 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
     # single 500-step program executes for minutes, which faults the
     # remote-TPU watchdog (single-step executions of ~seconds are fine)
     inv_ts_np = np.asarray(inversion_timesteps(SchedulerConfig(), invert_steps))
+    # inversion-stage reuse: --reuse applies to BOTH stages (and overrides
+    # the composite's capture-reuse); --inv_reuse accelerates stage 1 alone,
+    # so it composes with --capture_reuse on stage 2 — the strongest
+    # combined configuration the north star wants measured.
+    inv_k = inv_reuse if inv_reuse else reuse
+    inv_deep = inv_reuse_deep if inv_reuse else reuse_deep
     reuse_kw = {}
-    if reuse > 1:
-        reuse_kw = dict(encoder_reuse_interval=int(reuse),
-                        deep_reuse=bool(reuse_deep))
+    if inv_k > 1:
+        reuse_kw = dict(encoder_reuse_interval=int(inv_k),
+                        deep_reuse=bool(inv_deep))
 
     if batch or mesh_inv is not None:
         # batched inversion: J videos on the UNet batch axis; under a mesh
@@ -784,6 +791,8 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         + ("_reuse%d" % reuse if reuse > 1 else "")
         + ("d%d" % reuse_depth if reuse > 1 and reuse_depth else "")
         + ("deep" if reuse > 1 and reuse_deep else "")
+        + ("_invreuse%d%s" % (inv_reuse, "deep" if inv_reuse_deep else "")
+           if inv_reuse > 1 else "")
         + ("_capreuse%d%s" % (capture_reuse, "deep" if capture_reuse_deep
                               else "") if capture_reuse > 1 else ""),
         "value": round(total, 2),
@@ -842,6 +851,13 @@ def main():
     ap.add_argument("--res", type=int, choices=[512, 720], default=512,
                     help="(e2e) pixel resolution: 512 -> 64x64 latents, "
                     "720 -> the reference's 90x160 (1280x720)")
+    ap.add_argument("--inv_reuse", type=int, default=0,
+                    help="(e2e) encoder-reuse interval for the INVERSION "
+                    "stage only (composes with --capture_reuse on the "
+                    "composite stage; 0 = follow --reuse)")
+    ap.add_argument("--inv_reuse_deep", action="store_true",
+                    help="(e2e, with --inv_reuse k) cached inversion steps "
+                    "also broadcast up-block attention outputs")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the measured "
                     "iterations into DIR and print the device-op breakdown "
@@ -919,7 +935,8 @@ def main():
                 mesh_devices=args.mesh, batch=args.batch, reuse=args.reuse,
                 reuse_depth=args.reuse_depth, reuse_deep=args.reuse_deep,
                 capture_reuse=args.capture_reuse,
-                capture_reuse_deep=args.capture_reuse_deep)
+                capture_reuse_deep=args.capture_reuse_deep,
+                inv_reuse=args.inv_reuse, inv_reuse_deep=args.inv_reuse_deep)
         return
 
     iters = args.iters or (10 if args.preset.startswith("full")

@@ -190,7 +190,7 @@ def _frame_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
 
 
 @functools.partial(jax.jit, static_argnames=("f", "heads", "interpret",
-                                             "sf_layout", "fold"))
+                                             "sf_layout"))
 def frame_attention(
     q: jax.Array,  # [B, F, S, H*D] frame-major; or [S, F, H*D] (sf_layout)
     k: jax.Array,
@@ -200,7 +200,6 @@ def frame_attention(
     bias: jax.Array,  # [M, M] fp32 additive (block-diag x band), M = g*F
     sf_layout: bool = False,
     interpret: bool = False,
-    fold: int = 0,  # 0 = MVOC_FRAME_ATTN_FOLD env (a jit-static knob)
 ) -> jax.Array:
     """Self-attention across the F frame axis independently per pixel s —
     the temporal-attention hot op (reference reaches it through torch SDPA
@@ -237,29 +236,11 @@ def frame_attention(
 
     qm, km, vm = pack(q), pack(k), pack(v)
     bx = qm.shape[0]
-
-    # Optional s-PAIR FOLDING (MVOC_FRAME_ATTN_FOLD=2): adjacent pixels are
-    # packed d-block-diagonally — q rows of pixel 0 occupy d-columns [0, D),
-    # pixel 1 occupies [D, 2D), so one [2M, 2D] x [2D, 2M] matmul computes
-    # both pixels' logits with exact zeros in the cross-pixel blocks
-    # (disjoint contraction support), halving the batched-matmul count the
-    # Mosaic lowering issues.  The bias gets -1e30 on the cross blocks.
-    fold = fold or int(os.environ.get("MVOC_FRAME_ATTN_FOLD", "1"))
-    if fold == 2 and s % 2 == 0 and m <= 128:
-        def dpack(t):
-            t = t.reshape(bx, s // 2, 2, m, d)
-            z = jnp.zeros_like(t[:, :, 0])
-            row0 = jnp.concatenate([t[:, :, 0], z], axis=-1)   # [.., m, 2d]
-            row1 = jnp.concatenate([z, t[:, :, 1]], axis=-1)
-            return jnp.concatenate([row0, row1], axis=-2)      # [.., 2m, 2d]
-
-        qm, km, vm = dpack(qm), dpack(km), dpack(vm)
-        bias = (jnp.full((2 * m, 2 * m), NEG_INF, jnp.float32)
-                .at[:m, :m].set(bias).at[m:, m:].set(bias))
-        m_eff, d_eff, s_eff = 2 * m, 2 * d, s // 2
-    else:
-        fold = 1
-        m_eff, d_eff, s_eff = m, d, s
+    # (an s-pair d-block-diagonal "folding" variant was measured in round 3
+    # and DELETED: the zero-padded [2M,2D]x[2D,2M] matmul 4x'es the
+    # temporal-attention flops and lost 12-15% at both 512px and 720p —
+    # TPU_RUNS_r03.log fold2_512 / fold2_720)
+    m_eff, d_eff, s_eff = m, d, s
 
     # fp32 logits block [s_blk, M, M] must fit VMEM alongside q/k/v tiles
     s_blk = _pick_block(s_eff, 64, multiple=8)
@@ -293,10 +274,6 @@ def frame_attention(
         interpret=interpret,
     )(qm, km, vm, bias.astype(jnp.float32))
     out = out[:, :s_eff]
-    if fold == 2:
-        # unfold: row block i carries pixel i's output in d-columns block i
-        out = jnp.stack([out[:, :, :m, :d], out[:, :, m:, d:]],
-                        axis=2).reshape(bx, s, m, d)
     if sf_layout:
         out = out.reshape(x, s, g, f, d).transpose(1, 3, 0, 2, 4)
         return out.reshape(s, f, inner)
@@ -426,7 +403,6 @@ def sharded_frame_attention(
     mesh,
     sf_layout: bool = False,
     interpret: bool = False,
-    fold: int = 0,
 ) -> jax.Array:
     """Frame (temporal) attention with the PIXEL axis split over the mesh.
 
@@ -448,7 +424,7 @@ def sharded_frame_attention(
     fn = _shard_map()(
         lambda qq, kk, vv, bb: frame_attention(
             qq, kk, vv, f, heads, bb, sf_layout=sf_layout,
-            interpret=interpret, fold=fold),
+            interpret=interpret),
         mesh=mesh, in_specs=(spec, spec, spec, P(None, None)),
         out_specs=spec)
     return fn(q, k, v, bias)

@@ -298,22 +298,6 @@ def test_feedforward_chunking_exact(rng, monkeypatch):
                                atol=1e-6)
 
 
-def test_frame_attention_kernel_fold(rng):
-    """fold=2 (s-pair d-block-diagonal packing) == naive per-head."""
-    from mvoc_tpu.ops import attention as flash
-
-    heads, f, d, s = 5, 16, 8, 24
-    q = rng.standard_normal((1, f, s, heads * d), dtype=np.float32)
-    k = rng.standard_normal((1, f, s, heads * d), dtype=np.float32)
-    v = rng.standard_normal((1, f, s, heads * d), dtype=np.float32)
-    g = layers._head_group_size(heads, f)
-    out = flash.frame_attention(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), f, heads,
-        layers._block_diag_bias(f, g, None), interpret=True, fold=2)
-    np.testing.assert_allclose(
-        np.asarray(out), _naive_frame_attention(q, k, v, heads), atol=2e-5)
-
-
 def test_frame_attention_kernel_bf16(rng):
     """bf16 inputs: fp32 softmax statistics inside the kernel keep the
     output within bf16-rounding distance of the fp32 naive reference."""

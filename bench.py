@@ -967,7 +967,12 @@ def main():
                     s, l = st_cached(params, s, l, gate, c)
                 else:
                     s, l, c = st_fresh(params, s, l, gate)
-            jax.block_until_ready((s, l))
+                # block EVERY step: one axon outage produced a chained loop
+                # whose final block_until_ready returned instantly (807
+                # steps/s, MFU 255 — TPU_RUNS_r03.log natblk2_default);
+                # <0.5% dispatch overhead at >1 s steps buys a number that
+                # cannot silently be garbage
+                jax.block_until_ready((s, l))
         dt = _time.perf_counter() - t0
         if args.trace:
             print(json.dumps(_prof.device_op_breakdown(args.trace), indent=2),
@@ -1016,7 +1021,7 @@ def main():
                     s, l, c = st(params, s, l, gate)
                 else:
                     s, l = st(params, s, l, gate)
-            jax.block_until_ready((s, l))
+                jax.block_until_ready((s, l))  # see capture_reuse loop note
         dt = _time.perf_counter() - t0
         if args.trace:
             print(json.dumps(_prof.device_op_breakdown(args.trace), indent=2),
@@ -1067,7 +1072,7 @@ def main():
                 s, l, c = tp(params, s, l, gate)
             else:
                 s, l = tp(params, s, l, gate)
-        jax.block_until_ready((s, l))
+            jax.block_until_ready((s, l))  # see capture_reuse loop note
         dt = _time.perf_counter() - t0
         k = args.reuse
         costs = [(cost_flops(tp, params, s, l, gate), 1.0 / k)]
@@ -1107,7 +1112,7 @@ def main():
                 s, l, c = pab_cached(params, s, l, gate, c)
             else:
                 s, l, c = pab_fresh(params, s, l, gate)
-        jax.block_until_ready((s, l))
+            jax.block_until_ready((s, l))  # see capture_reuse loop note
         dt = time.perf_counter() - t0
         k = args.pab
         costs = [(cost_flops(pab_fresh, params, s, l, gate), 1.0 / k),
@@ -1144,7 +1149,7 @@ def main():
             s, l, c = cached_step(params, s, l, gate, c)
         else:
             s, l, c = fresh_step(params, s, l, gate)
-    jax.block_until_ready((s, l))
+        jax.block_until_ready((s, l))  # see capture_reuse loop note
     dt = time.perf_counter() - t0
 
     steps_per_sec = iters / dt

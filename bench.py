@@ -120,6 +120,41 @@ def mfu_fields(compiled_costs, steps_per_sec):
     return out
 
 
+def timed_loop(iters, body, probe, t_ref):
+    """Time `iters` calls of body(i) chained (async dispatch, one final
+    block on probe()), then sanity-check against `t_ref` — the wall time of
+    ONE blocked step.  One axon run returned a 10-step chained loop in
+    12 ms (807 steps/s, MFU 255 — TPU_RUNS_r03.log natblk2_default):
+    block_until_ready on the chained outputs came back instantly.  If the
+    chained per-step time is impossibly fast (< t_ref / 3; the margin
+    absorbs the ~26 ms per-call dispatch latency that inflates t_ref),
+    re-time with per-step blocking and report that instead.  Chained
+    timing stays the default because per-step blocking costs ~26 ms/step
+    (up to ~4.5% on the fastest presets) and every recorded number this
+    round is chained.
+
+    Returns (dt, async_anomaly)."""
+    import time as _time
+
+    import jax
+
+    t0 = _time.perf_counter()
+    for i in range(iters):
+        body(i)
+    jax.block_until_ready(probe())
+    dt = _time.perf_counter() - t0
+    if t_ref <= 0 or dt >= iters * t_ref / 3:
+        return dt, False
+    print(f"WARNING: chained loop impossibly fast ({dt:.3f}s for {iters} "
+          f"steps vs {t_ref:.3f}s/blocked-step) — re-timing with per-step "
+          "blocking", file=sys.stderr)
+    t0 = _time.perf_counter()
+    for i in range(iters):
+        body(i)
+        jax.block_until_ready(probe())
+    return _time.perf_counter() - t0, True
+
+
 def cost_flops(jitted, *args, **kwargs):
     """FLOPs of one call of a jitted function per XLA cost analysis
     (returns 0.0 when the backend doesn't expose it).  Lowers on
@@ -956,24 +991,23 @@ def main():
         st_cached = make_stream(cap_cached=True, deep=args.capture_reuse_deep)
         s, l, c = st_fresh(params, sample, latents, gate)
         jax.block_until_ready((s, l))
+        s, l = st_cached(params, s, l, gate, c)  # compile warmup
+        jax.block_until_ready((s, l))
+        t0 = _time.perf_counter()
         s, l = st_cached(params, s, l, gate, c)
         jax.block_until_ready((s, l))
+        t_ref = _time.perf_counter() - t0  # one BLOCKED post-compile step
         from mvoc_tpu.utils import profiling as _prof
 
-        t0 = _time.perf_counter()
+        def body(i):
+            nonlocal s, l, c
+            if i % k != 0:
+                s, l = st_cached(params, s, l, gate, c)
+            else:
+                s, l, c = st_fresh(params, s, l, gate)
+
         with _prof.trace(args.trace):
-            for i in range(iters):
-                if i % k != 0:
-                    s, l = st_cached(params, s, l, gate, c)
-                else:
-                    s, l, c = st_fresh(params, s, l, gate)
-                # block EVERY step: one axon outage produced a chained loop
-                # whose final block_until_ready returned instantly (807
-                # steps/s, MFU 255 — TPU_RUNS_r03.log natblk2_default);
-                # <0.5% dispatch overhead at >1 s steps buys a number that
-                # cannot silently be garbage
-                jax.block_until_ready((s, l))
-        dt = _time.perf_counter() - t0
+            dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref)
         if args.trace:
             print(json.dumps(_prof.device_op_breakdown(args.trace), indent=2),
                   file=sys.stderr)
@@ -992,6 +1026,7 @@ def main():
             "unit": "steps/s",
             "vs_baseline": None,
             **mfu_fields(costs, iters / dt),
+            **({"async_anomaly": True} if anomaly else {}),
         }))
         return
     if args.stream:
@@ -1004,25 +1039,35 @@ def main():
         else:
             s, l = st(params, sample, latents, gate)
         jax.block_until_ready((s, l))
+        import time as _time
+
         if st_cached is not None:
-            # rebind: s/c were donated into the call
+            # rebind: s/c were donated into the call; compile warmup
             s, l, c = st_cached(params, s, l, gate, c)
             jax.block_until_ready((s, l))
-        import time as _time
+        t0 = _time.perf_counter()
+        if st_cached is not None:
+            s, l, c = st_cached(params, s, l, gate, c)
+        elif want_cache:
+            s, l, c = st(params, s, l, gate)
+        else:
+            s, l = st(params, s, l, gate)
+        jax.block_until_ready((s, l))
+        t_ref = _time.perf_counter() - t0  # one BLOCKED post-compile step
 
         from mvoc_tpu.utils import profiling as _prof
 
-        t0 = _time.perf_counter()
+        def body(i):
+            nonlocal s, l, c
+            if st_cached is not None and i % args.reuse != 0:
+                s, l, c = st_cached(params, s, l, gate, c)
+            elif want_cache:
+                s, l, c = st(params, s, l, gate)
+            else:
+                s, l = st(params, s, l, gate)
+
         with _prof.trace(args.trace):
-            for i in range(iters):
-                if st_cached is not None and i % args.reuse != 0:
-                    s, l, c = st_cached(params, s, l, gate, c)
-                elif want_cache:
-                    s, l, c = st(params, s, l, gate)
-                else:
-                    s, l = st(params, s, l, gate)
-                jax.block_until_ready((s, l))  # see capture_reuse loop note
-        dt = _time.perf_counter() - t0
+            dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref)
         if args.trace:
             print(json.dumps(_prof.device_op_breakdown(args.trace), indent=2),
                   file=sys.stderr)
@@ -1046,6 +1091,7 @@ def main():
             "vs_baseline": round((iters / dt) / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3)
             if args.preset == "full" and args.reuse == 1 else None,
             **mfu_fields(costs, iters / dt),
+            **({"async_anomaly": True} if anomaly else {}),
         }))
         return
     if args.two_pass:
@@ -1058,22 +1104,32 @@ def main():
         else:
             s, l = tp(params, sample, latents, gate)
         jax.block_until_ready((s, l))
-        if tp_cached is not None:
-            # rebind: s/c were donated into the call
-            s, l, c = tp_cached(params, s, l, gate, c)
-            jax.block_until_ready((s, l))
         import time as _time
 
+        if tp_cached is not None:
+            # rebind: s/c were donated into the call; compile warmup
+            s, l, c = tp_cached(params, s, l, gate, c)
+            jax.block_until_ready((s, l))
         t0 = _time.perf_counter()
-        for i in range(iters):
+        if tp_cached is not None:
+            s, l, c = tp_cached(params, s, l, gate, c)
+        elif want_cache:
+            s, l, c = tp(params, s, l, gate)
+        else:
+            s, l = tp(params, s, l, gate)
+        jax.block_until_ready((s, l))
+        t_ref = _time.perf_counter() - t0  # one BLOCKED post-compile step
+
+        def body(i):
+            nonlocal s, l, c
             if tp_cached is not None and i % args.reuse != 0:
                 s, l, c = tp_cached(params, s, l, gate, c)
             elif want_cache:
                 s, l, c = tp(params, s, l, gate)
             else:
                 s, l = tp(params, s, l, gate)
-            jax.block_until_ready((s, l))  # see capture_reuse loop note
-        dt = _time.perf_counter() - t0
+
+        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref)
         k = args.reuse
         costs = [(cost_flops(tp, params, s, l, gate), 1.0 / k)]
         if tp_cached is not None:
@@ -1093,6 +1149,7 @@ def main():
             "unit": "steps/s",
             "vs_baseline": None,
             **mfu_fields(costs, iters / dt),
+            **({"async_anomaly": True} if anomaly else {}),
         }))
         return
 
@@ -1103,17 +1160,22 @@ def main():
         pab_cached = make_pab(cached=True)
         s, l, c = pab_fresh(params, sample, latents, gate)
         jax.block_until_ready((s, l))
-        # rebind: s/c were donated into the call
+        # rebind: s/c were donated into the call; compile warmup
         s, l, c = pab_cached(params, s, l, gate, c)
         jax.block_until_ready((s, l))
         t0 = time.perf_counter()
-        for i in range(iters):
+        s, l, c = pab_cached(params, s, l, gate, c)
+        jax.block_until_ready((s, l))
+        t_ref = time.perf_counter() - t0  # one BLOCKED post-compile step
+
+        def body(i):
+            nonlocal s, l, c
             if i % args.pab != 0:
                 s, l, c = pab_cached(params, s, l, gate, c)
             else:
                 s, l, c = pab_fresh(params, s, l, gate)
-            jax.block_until_ready((s, l))  # see capture_reuse loop note
-        dt = time.perf_counter() - t0
+
+        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref)
         k = args.pab
         costs = [(cost_flops(pab_fresh, params, s, l, gate), 1.0 / k),
                  (cost_flops(pab_cached, params, s, l, gate, c), (k - 1.0) / k)]
@@ -1129,6 +1191,7 @@ def main():
             "unit": "steps/s",
             "vs_baseline": None,
             **mfu_fields(costs, iters / dt),
+            **({"async_anomaly": True} if anomaly else {}),
         }))
         return
 
@@ -1139,18 +1202,25 @@ def main():
     s, l, c = fresh_step(params, sample, latents, gate)
     jax.block_until_ready((s, l))
     if cached_step is not None:
-        # rebind: s/c were donated into the call
+        # rebind: s/c were donated into the call; compile warmup
         s, l, c = cached_step(params, s, l, gate, c)
         jax.block_until_ready((s, l))
-
     t0 = time.perf_counter()
-    for i in range(iters):
+    if cached_step is not None:
+        s, l, c = cached_step(params, s, l, gate, c)
+    else:
+        s, l, c = fresh_step(params, s, l, gate)
+    jax.block_until_ready((s, l))
+    t_ref = time.perf_counter() - t0  # one BLOCKED post-compile step
+
+    def body(i):
+        nonlocal s, l, c
         if cached_step is not None and i % args.reuse != 0:
             s, l, c = cached_step(params, s, l, gate, c)
         else:
             s, l, c = fresh_step(params, s, l, gate)
-        jax.block_until_ready((s, l))  # see capture_reuse loop note
-    dt = time.perf_counter() - t0
+
+    dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref)
 
     steps_per_sec = iters / dt
     k = args.reuse
@@ -1172,6 +1242,7 @@ def main():
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3)
         if args.preset == "full" else None,
         **mfu_fields(costs, steps_per_sec),
+        **({"async_anomaly": True} if anomaly else {}),
     }))
 
 

@@ -120,39 +120,56 @@ def mfu_fields(compiled_costs, steps_per_sec):
     return out
 
 
-def timed_loop(iters, body, probe, t_ref):
+def timed_loop(iters, body, probe, t_ref, trace_dir=None):
     """Time `iters` calls of body(i) chained (async dispatch, one final
-    block on probe()), then sanity-check against `t_ref` — the wall time of
-    ONE blocked step.  One axon run returned a 10-step chained loop in
-    12 ms (807 steps/s, MFU 255 — TPU_RUNS_r03.log natblk2_default):
-    block_until_ready on the chained outputs came back instantly.  If the
-    chained per-step time is impossibly fast (< t_ref / 3; the margin
-    absorbs the ~26 ms per-call dispatch latency that inflates t_ref),
-    re-time with per-step blocking and report that instead.  Chained
-    timing stays the default because per-step blocking costs ~26 ms/step
-    (up to ~4.5% on the fastest presets) and every recorded number this
-    round is chained.
+    block on probe()), then sanity-check against `t_ref` — the EXPECTED
+    average wall time of one step, measured with blocking (for mixed
+    fresh/cached loops the caller passes the (t_fresh + (k-1)*t_cached)/k
+    mix, not the cached-only time, so the /3 margin really is a margin).
+    One axon run returned a 10-step chained loop in 12 ms (807 steps/s,
+    MFU 255 — TPU_RUNS_r03.log natblk2_default): block_until_ready on the
+    chained outputs came back instantly.  If the chained per-step time is
+    impossibly fast (< t_ref / 3; the margin absorbs the ~26 ms per-call
+    dispatch latency that inflates t_ref), re-time with per-step blocking
+    and report that instead.  Chained timing stays the default because
+    per-step blocking costs ~26 ms/step (up to ~4.5% on the fastest
+    presets) and every recorded number this round is chained.
+
+    If `trace_dir` is given, a jax.profiler trace is written around ONLY
+    the loop whose dt is returned (on an anomaly re-time the fresh trace
+    goes to trace_dir/retime so the bogus chained loop is not counted)
+    and the device-op breakdown is printed to stderr.
 
     Returns (dt, async_anomaly)."""
     import time as _time
 
     import jax
 
-    t0 = _time.perf_counter()
-    for i in range(iters):
-        body(i)
-    jax.block_until_ready(probe())
-    dt = _time.perf_counter() - t0
+    from mvoc_tpu.utils import profiling as _prof
+
+    def _run(blocked, tdir):
+        t0 = _time.perf_counter()
+        with _prof.trace(tdir):
+            for i in range(iters):
+                body(i)
+                if blocked:
+                    jax.block_until_ready(probe())
+            if not blocked:
+                jax.block_until_ready(probe())
+            dt = _time.perf_counter() - t0
+        if tdir:
+            print(json.dumps(_prof.device_op_breakdown(tdir), indent=2),
+                  file=sys.stderr)
+        return dt
+
+    dt = _run(blocked=False, tdir=trace_dir)
     if t_ref <= 0 or dt >= iters * t_ref / 3:
         return dt, False
     print(f"WARNING: chained loop impossibly fast ({dt:.3f}s for {iters} "
-          f"steps vs {t_ref:.3f}s/blocked-step) — re-timing with per-step "
+          f"steps vs {t_ref:.3f}s expected/step) — re-timing with per-step "
           "blocking", file=sys.stderr)
-    t0 = _time.perf_counter()
-    for i in range(iters):
-        body(i)
-        jax.block_until_ready(probe())
-    return _time.perf_counter() - t0, True
+    retrace = os.path.join(trace_dir, "retime") if trace_dir else None
+    return _run(blocked=True, tdir=retrace), True
 
 
 def cost_flops(jitted, *args, **kwargs):
@@ -894,10 +911,13 @@ def main():
                     help="(e2e, with --inv_reuse k) cached inversion steps "
                     "also broadcast up-block attention outputs")
     ap.add_argument("--trace", default=None, metavar="DIR",
-                    help="capture a jax.profiler trace of the measured "
-                    "iterations into DIR and print the device-op breakdown "
+                    help="(step presets; not e2e/quality) capture a "
+                    "jax.profiler trace of the measured iterations into DIR "
+                    "and print the device-op breakdown "
                     "(utils.profiling.device_op_breakdown) to stderr")
     args = ap.parse_args()
+    if args.trace and args.preset in ("e2e", "quality"):
+        ap.error("--trace applies to the step presets, not e2e/quality")
 
     import jax
 
@@ -996,8 +1016,12 @@ def main():
         t0 = _time.perf_counter()
         s, l = st_cached(params, s, l, gate, c)
         jax.block_until_ready((s, l))
-        t_ref = _time.perf_counter() - t0  # one BLOCKED post-compile step
-        from mvoc_tpu.utils import profiling as _prof
+        t_cached = _time.perf_counter() - t0  # one BLOCKED post-compile step
+        t0 = _time.perf_counter()
+        s, l, c = st_fresh(params, s, l, gate)
+        jax.block_until_ready((s, l))
+        t_fresh = _time.perf_counter() - t0
+        t_ref = (t_fresh + (k - 1) * t_cached) / k  # expected mixed step
 
         def body(i):
             nonlocal s, l, c
@@ -1006,11 +1030,8 @@ def main():
             else:
                 s, l, c = st_fresh(params, s, l, gate)
 
-        with _prof.trace(args.trace):
-            dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref)
-        if args.trace:
-            print(json.dumps(_prof.device_op_breakdown(args.trace), indent=2),
-                  file=sys.stderr)
+        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref,
+                                 args.trace)
         costs = [(cost_flops(st_fresh, params, s, l, gate), 1.0 / k),
                  (cost_flops(st_cached, params, s, l, gate, c), (k - 1.0) / k)]
         print(json.dumps({
@@ -1054,8 +1075,12 @@ def main():
             s, l = st(params, s, l, gate)
         jax.block_until_ready((s, l))
         t_ref = _time.perf_counter() - t0  # one BLOCKED post-compile step
-
-        from mvoc_tpu.utils import profiling as _prof
+        if st_cached is not None:  # mix in one blocked FRESH step (1/k)
+            t0 = _time.perf_counter()
+            s, l, c = st(params, s, l, gate)
+            jax.block_until_ready((s, l))
+            t_fresh = _time.perf_counter() - t0
+            t_ref = (t_fresh + (args.reuse - 1) * t_ref) / args.reuse
 
         def body(i):
             nonlocal s, l, c
@@ -1066,11 +1091,8 @@ def main():
             else:
                 s, l = st(params, s, l, gate)
 
-        with _prof.trace(args.trace):
-            dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref)
-        if args.trace:
-            print(json.dumps(_prof.device_op_breakdown(args.trace), indent=2),
-                  file=sys.stderr)
+        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref,
+                                 args.trace)
         k = args.reuse
         costs = [(cost_flops(st, params, s, l, gate), 1.0 / k)]
         if st_cached is not None:
@@ -1119,6 +1141,12 @@ def main():
             s, l = tp(params, s, l, gate)
         jax.block_until_ready((s, l))
         t_ref = _time.perf_counter() - t0  # one BLOCKED post-compile step
+        if tp_cached is not None:  # mix in one blocked FRESH step (1/k)
+            t0 = _time.perf_counter()
+            s, l, c = tp(params, s, l, gate)
+            jax.block_until_ready((s, l))
+            t_fresh = _time.perf_counter() - t0
+            t_ref = (t_fresh + (args.reuse - 1) * t_ref) / args.reuse
 
         def body(i):
             nonlocal s, l, c
@@ -1129,7 +1157,8 @@ def main():
             else:
                 s, l = tp(params, s, l, gate)
 
-        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref)
+        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref,
+                                 args.trace)
         k = args.reuse
         costs = [(cost_flops(tp, params, s, l, gate), 1.0 / k)]
         if tp_cached is not None:
@@ -1166,7 +1195,12 @@ def main():
         t0 = time.perf_counter()
         s, l, c = pab_cached(params, s, l, gate, c)
         jax.block_until_ready((s, l))
-        t_ref = time.perf_counter() - t0  # one BLOCKED post-compile step
+        t_cached = time.perf_counter() - t0  # one BLOCKED post-compile step
+        t0 = time.perf_counter()
+        s, l, c = pab_fresh(params, s, l, gate)
+        jax.block_until_ready((s, l))
+        t_fresh = time.perf_counter() - t0
+        t_ref = (t_fresh + (args.pab - 1) * t_cached) / args.pab
 
         def body(i):
             nonlocal s, l, c
@@ -1175,7 +1209,8 @@ def main():
             else:
                 s, l, c = pab_fresh(params, s, l, gate)
 
-        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref)
+        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref,
+                                 args.trace)
         k = args.pab
         costs = [(cost_flops(pab_fresh, params, s, l, gate), 1.0 / k),
                  (cost_flops(pab_cached, params, s, l, gate, c), (k - 1.0) / k)]
@@ -1212,6 +1247,12 @@ def main():
         s, l, c = fresh_step(params, s, l, gate)
     jax.block_until_ready((s, l))
     t_ref = time.perf_counter() - t0  # one BLOCKED post-compile step
+    if cached_step is not None:  # mix in one blocked FRESH step (1/k)
+        t0 = time.perf_counter()
+        s, l, c = fresh_step(params, s, l, gate)
+        jax.block_until_ready((s, l))
+        t_fresh = time.perf_counter() - t0
+        t_ref = (t_fresh + (args.reuse - 1) * t_ref) / args.reuse
 
     def body(i):
         nonlocal s, l, c
@@ -1220,7 +1261,7 @@ def main():
         else:
             s, l, c = fresh_step(params, s, l, gate)
 
-    dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref)
+    dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref, args.trace)
 
     steps_per_sec = iters / dt
     k = args.reuse

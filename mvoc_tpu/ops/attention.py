@@ -117,7 +117,13 @@ def flash_attention(
 ) -> jax.Array:
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    # MVOC_FLASH_BLOCK_{Q,K}: measurement-only A/B knobs (read at trace
+    # time; the defaults reproduce the shipped blocks bit-for-bit so the
+    # persistent compile cache stays valid when they are unset)
+    block_q = block_q or int(os.environ.get("MVOC_FLASH_BLOCK_Q", 0))
     block_q = block_q or _pick_block(sq, 512)
+    if not block_k:
+        block_k = int(os.environ.get("MVOC_FLASH_BLOCK_K", 0))
     if not block_k:
         if sk <= 1024:
             # short K (cross-attention: 145 context tokens): ONE K block,
@@ -243,7 +249,9 @@ def frame_attention(
     m_eff, d_eff, s_eff = m, d, s
 
     # fp32 logits block [s_blk, M, M] must fit VMEM alongside q/k/v tiles
-    s_blk = _pick_block(s_eff, 64, multiple=8)
+    # (MVOC_FRAME_SBLK: measurement-only A/B knob, default unchanged)
+    s_blk = _pick_block(
+        s_eff, int(os.environ.get("MVOC_FRAME_SBLK", 0)) or 64, multiple=8)
     if s_eff % s_blk:
         pad = -s_eff % s_blk
         qm = jnp.pad(qm, ((0, 0), (0, pad), (0, 0), (0, 0)))

@@ -36,10 +36,17 @@ COMPOSITE_MODES = (
     ("capture_reuse_k2", dict(capture_reuse_interval=2)),
     ("capture_reuse_k2_deep", dict(capture_reuse_interval=2,
                                    capture_reuse_deep=True)),
+    # the north-star e2e operating points (README budget table)
+    ("capture_reuse_k3_deep", dict(capture_reuse_interval=3,
+                                   capture_reuse_deep=True)),
+    ("capture_reuse_k5_deep", dict(capture_reuse_interval=5,
+                                   capture_reuse_deep=True)),
 )
 INVERSION_MODES = (
     ("inv_encoder_reuse_k2", dict(encoder_reuse_interval=2)),
     ("inv_deep_reuse_k2", dict(encoder_reuse_interval=2, deep_reuse=True)),
+    ("inv_deep_reuse_k3", dict(encoder_reuse_interval=3, deep_reuse=True)),
+    ("inv_deep_reuse_k5", dict(encoder_reuse_interval=5, deep_reuse=True)),
 )
 
 

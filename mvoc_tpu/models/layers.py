@@ -172,6 +172,14 @@ def sdpa(
         if mesh_active:
             out = flash.sharded_flash_attention(
                 qh, kh, vh, mesh, interpret=flash.env_interpret())
+        elif flash.use_jax_reference_flash(sq, sk):
+            # measurement-only A/B against the upstream jax pallas kernel
+            # (MVOC_FLASH_IMPL=jax); unset -> identical HLO to the shipped
+            # kernel, so the persistent compile cache stays valid
+            from jax.experimental.pallas.ops.tpu import flash_attention as jfa
+
+            out = jfa.flash_attention(qh, kh, vh,
+                                      sm_scale=1.0 / math.sqrt(d))
         else:
             out = flash.flash_attention(qh, kh, vh)
         return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)

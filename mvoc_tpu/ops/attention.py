@@ -309,6 +309,15 @@ def use_frame_kernel() -> bool:
         return False
 
 
+def use_jax_reference_flash(seq_q: int, seq_k: int) -> bool:
+    """MVOC_FLASH_IMPL=jax dispatches long SELF-attention to the upstream
+    jax.experimental.pallas TPU flash kernel — a measurement-only A/B
+    against this module's kernel (cross-attention keeps ours: the upstream
+    kernel asserts on tiny K lengths).  Unset = ours everywhere."""
+    return (os.environ.get("MVOC_FLASH_IMPL") == "jax" and seq_q == seq_k
+            and seq_q % 128 == 0)
+
+
 def use_flash(seq_q: int, seq_k: int, d: int) -> bool:
     """Dispatch policy: flash whenever the QUERY sequence is long — both
     long self-attention (sk == sq) and cross-attention (sk = 145 context

@@ -1,0 +1,174 @@
+"""Int8 weight+activation (w8a8) quantized matmul/conv primitives.
+
+The v5e MXU executes s8 x s8 -> s32 at ~2x the bf16 rate (393.6 vs
+196.8 peak TOPS/TFLOPS), and the flagship composite step is ~100%
+matmul-class flops (9.4 TF conv + 11.5 TF dot_general per UNet forward at
+16f @ 512px — see ROUND_NOTES round 4).  These helpers express the standard
+symmetric-int8 recipe in plain jnp so XLA owns the fusion:
+
+  * weights:      per-output-channel symmetric scales, quantized ONCE by
+                  `quantize_params` (a pre-pass over the param pytree — the
+                  per-step program never re-quantizes loop-invariant
+                  weights);
+  * activations:  dynamic per-tensor symmetric scale (one max-reduce per
+                  site; XLA fuses the quantize into the producer and the
+                  dequantize into the consumer epilogue);
+  * accumulation: int32 on the MXU via `preferred_element_type`.
+
+This is an APPROXIMATE acceleration mode in the same contract as
+capture/encoder reuse (exactness switch off by default, drift quantified by
+utils/quality + bench --preset quality).  The torch reference computes
+everything in fp16 (/root/reference/i2vgen-xl/inverse.py:113-118); int8 has
+no reference counterpart — it exists to push past reference parity on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+# int8 symmetric range. We clip to +/-127 (not -128) so the scale maps the
+# max-abs value exactly and the quantizer is symmetric around 0.
+_QMAX = 127.0
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedTensor:
+    """An int8 tensor + its per-channel fp32 dequantization scale.
+
+    `data` is int8 with the same shape as the original tensor; `scale` is
+    fp32 broadcastable against it (kept with singleton dims so
+    `data * scale` dequantizes directly).  Registered as a pytree so it can
+    live inside a flax param tree and cross jit boundaries.
+    """
+
+    data: jax.Array   # int8
+    scale: jax.Array  # fp32, broadcastable to data.shape
+
+    def tree_flatten(self):
+        return (self.data, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def dtype(self):  # the *logical* dtype callers would compute in
+        return self.scale.dtype
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        return (self.data.astype(self.scale.dtype) * self.scale).astype(dtype)
+
+
+def quantize_tensor(w: jax.Array, channel_axes: Sequence[int]) -> QuantizedTensor:
+    """Symmetric per-channel int8 quantization.
+
+    `channel_axes` are the axes KEPT distinct (one scale per index along
+    them — e.g. the output-channel axis of a conv kernel); all other axes
+    share a scale.  Zero channels get scale 1 to avoid 0/0.
+    """
+    w = w.astype(jnp.float32)
+    reduce_axes = tuple(a for a in range(w.ndim) if a not in tuple(channel_axes))
+    amax = jnp.max(jnp.abs(w), axis=reduce_axes, keepdims=True)
+    scale = jnp.where(amax > 0, amax / _QMAX, 1.0)
+    q = jnp.clip(jnp.round(w / scale), -_QMAX, _QMAX).astype(jnp.int8)
+    return QuantizedTensor(q, scale)
+
+
+def _quantize_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dynamic per-tensor symmetric int8 quantization of an activation.
+
+    Returns (x_q int8, scale fp32 scalar).  One global max-abs reduce per
+    call — cheap next to the matmul it feeds, and XLA fuses the elementwise
+    quantize into the producing fusion.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.where(amax > 0, amax / _QMAX, 1.0)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -_QMAX, _QMAX)
+    return xq.astype(jnp.int8), scale
+
+
+def int8_conv(
+    x: jax.Array,                 # [..., spatial..., C_in] channels-last
+    kernel: QuantizedTensor,      # HWIO (or DHWIO) int8 + per-O scale
+    *,
+    strides: Sequence[int],
+    padding,                      # as lax.conv_general_dilated accepts
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """w8a8 conv: s8 x s8 -> s32 on the MXU, dequantized in the epilogue."""
+    xq, x_scale = _quantize_activation(x)
+    nd = kernel.data.ndim - 2  # spatial rank
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.data.shape,
+        ("NHWC", "HWIO", "NHWC") if nd == 2 else ("NDHWC", "DHWIO", "NDHWC"))
+    acc = jax.lax.conv_general_dilated(
+        xq, kernel.data, window_strides=tuple(strides), padding=padding,
+        dimension_numbers=dn, preferred_element_type=jnp.int32)
+    # kernel.scale is [1]*nd + [1, O] -> epilogue scale is per output channel
+    o_scale = kernel.scale.reshape(kernel.scale.shape[-1])
+    return (acc.astype(jnp.float32) * (x_scale * o_scale)).astype(out_dtype)
+
+
+def int8_matmul(
+    x: jax.Array,                 # [..., K]
+    kernel: QuantizedTensor,      # [K, N] int8 + per-N scale
+    *,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """w8a8 dense: s8 x s8 -> s32 dot_general, dequantized in the epilogue."""
+    xq, x_scale = _quantize_activation(x)
+    acc = jax.lax.dot_general(
+        xq, kernel.data,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_scale = kernel.scale.reshape(kernel.scale.shape[-1])
+    return (acc.astype(jnp.float32) * (x_scale * o_scale)).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Param-tree pre-pass
+
+
+def _is_conv_or_dense_kernel(path: tuple, leaf) -> Optional[Sequence[int]]:
+    """Channel axes for a quantizable kernel leaf, else None.
+
+    Flax stores conv kernels as [*spatial, I, O] and dense kernels as
+    [K, N]; both keep the OUTPUT channel as the last axis.  Only leaves
+    literally named 'kernel' qualify (biases/scales/embeddings pass through).
+    """
+    names = [getattr(p, "key", None) for p in path]
+    if not names or names[-1] != "kernel":
+        return None
+    if leaf.ndim < 2:
+        return None
+    return (leaf.ndim - 1,)
+
+
+def quantize_params(params, *, predicate=None):
+    """Quantize every conv/dense kernel in a flax param tree to int8.
+
+    Runs ONCE outside the step function (loop-invariant weights must not be
+    re-quantized per step).  `predicate(path_names) -> bool` optionally
+    restricts which kernels quantize (e.g. skip zero-init temporal conv4 or
+    tiny projections); default quantizes all kernel leaves.
+    """
+    def visit(path, leaf):
+        axes = _is_conv_or_dense_kernel(path, leaf)
+        if axes is None:
+            return leaf
+        if predicate is not None:
+            names = tuple(str(getattr(p, "key", p)) for p in path)
+            if not predicate(names):
+                return leaf
+        return quantize_tensor(leaf, axes)
+
+    return jax.tree_util.tree_map_with_path(visit, params)

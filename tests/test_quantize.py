@@ -1,0 +1,129 @@
+"""Unit tests for the int8 w8a8 primitives (ops/quantize.py).
+
+CPU-only numerics: the int8 path must agree with the fp32 reference to
+quantization noise (~1/127 per-tensor relative), quantize_params must hit
+exactly the conv/dense kernel leaves, and QuantizedTensor must survive jit
+boundaries as a pytree.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mvoc_tpu.ops import quantize as Q
+
+
+def _rel_err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+
+
+def test_quantize_tensor_roundtrip_per_channel():
+    rng = np.random.default_rng(0)
+    # give channels wildly different ranges: per-channel scales must adapt
+    w = rng.standard_normal((3, 3, 16, 8)).astype(np.float32)
+    w *= (10.0 ** rng.uniform(-2, 2, size=8)).astype(np.float32)
+    qt = Q.quantize_tensor(jnp.asarray(w), channel_axes=(3,))
+    assert qt.data.dtype == jnp.int8
+    assert qt.scale.shape == (1, 1, 1, 8)
+    deq = np.asarray(qt.dequantize())
+    # per-channel: every channel independently within 1/127 of its own max
+    for c in range(8):
+        err = np.abs(deq[..., c] - w[..., c]).max()
+        assert err <= np.abs(w[..., c]).max() / 127 * 0.5 + 1e-7
+
+
+def test_quantize_tensor_zero_channel_safe():
+    w = jnp.zeros((4, 4))
+    qt = Q.quantize_tensor(w, channel_axes=(1,))
+    assert np.all(np.asarray(qt.dequantize()) == 0)
+    assert np.all(np.isfinite(np.asarray(qt.scale)))
+
+
+def test_int8_matmul_matches_fp32():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((128, 32)), jnp.float32)
+    ref = x @ w
+    out = Q.int8_matmul(x, Q.quantize_tensor(w, (1,)), out_dtype=jnp.float32)
+    # w8a8 error budget: ~2 quantization noises through a K=128 contraction
+    assert _rel_err(out, ref) < 0.02
+
+
+def test_int8_conv_matches_fp32():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 24)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 24, 12)), jnp.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    ref = jax.lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)],
+                                       dimension_numbers=dn)
+    out = Q.int8_conv(x, Q.quantize_tensor(w, (3,)), strides=(1, 1),
+                      padding=[(1, 1), (1, 1)], out_dtype=jnp.float32)
+    assert out.shape == ref.shape
+    assert _rel_err(out, ref) < 0.02
+
+
+def test_int8_conv_strided():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16)), jnp.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    ref = jax.lax.conv_general_dilated(x, w, (2, 2), [(1, 1), (1, 1)],
+                                       dimension_numbers=dn)
+    out = Q.int8_conv(x, Q.quantize_tensor(w, (3,)), strides=(2, 2),
+                      padding=[(1, 1), (1, 1)], out_dtype=jnp.float32)
+    assert out.shape == ref.shape
+    assert _rel_err(out, ref) < 0.02
+
+
+def test_quantized_tensor_crosses_jit():
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+    qt = Q.quantize_tensor(w, (1,))
+
+    @jax.jit
+    def f(x, qt):
+        return Q.int8_matmul(x, qt, out_dtype=jnp.float32)
+
+    x = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+    out = f(x, qt)
+    assert _rel_err(out, x @ w) < 0.03
+
+
+def test_quantize_params_hits_only_kernels():
+    from flax import linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), name="conv")(x)
+            x = nn.GroupNorm(num_groups=4, name="gn")(x)
+            return nn.Dense(4, name="dense")(x)
+
+    m = M()
+    params = m.init(jax.random.key(0), jnp.ones((1, 8, 8, 4)))
+    qp = Q.quantize_params(params)
+    p = qp["params"]
+    assert isinstance(p["conv"]["kernel"], Q.QuantizedTensor)
+    assert isinstance(p["dense"]["kernel"], Q.QuantizedTensor)
+    # biases and norm scales untouched
+    assert not isinstance(p["conv"]["bias"], Q.QuantizedTensor)
+    assert not isinstance(p["gn"]["scale"], Q.QuantizedTensor)
+    assert not isinstance(p["gn"]["bias"], Q.QuantizedTensor)
+
+
+def test_quantize_params_predicate():
+    from flax import linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(2, name="skip_me")(nn.Dense(4, name="q_me")(x))
+
+    params = M().init(jax.random.key(0), jnp.ones((1, 8)))
+    qp = Q.quantize_params(
+        params, predicate=lambda names: "skip_me" not in names)
+    assert isinstance(qp["params"]["q_me"]["kernel"], Q.QuantizedTensor)
+    assert not isinstance(qp["params"]["skip_me"]["kernel"], Q.QuantizedTensor)

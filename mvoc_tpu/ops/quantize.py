@@ -25,10 +25,11 @@ no reference counterpart — it exists to push past reference parity on TPU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
 
 # int8 symmetric range. We clip to +/-127 (not -128) so the scale maps the
 # max-abs value exactly and the quantizer is symmetric around 0.
@@ -132,6 +133,56 @@ def int8_matmul(
         preferred_element_type=jnp.int32)
     o_scale = kernel.scale.reshape(kernel.scale.shape[-1])
     return (acc.astype(jnp.float32) * (x_scale * o_scale)).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Drop-in flax modules
+#
+# QuantConv/QuantDense subclass nn.Conv/nn.Dense and dispatch on the TYPE of
+# the stored kernel leaf: a plain array delegates to the parent (bitwise the
+# stock op — parity tests and the persistent compile cache are unaffected),
+# a QuantizedTensor (installed by `quantize_params`) runs the w8a8 path.
+# Param names/shapes are the parent's, so models/convert.py needs no
+# changes and `quantize: int8` is purely a load-time param transform.
+
+
+class QuantConv(nn.Conv):
+    """nn.Conv that runs w8a8 when its kernel was pre-quantized."""
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array) -> jax.Array:
+        kernel = self.get_variable("params", "kernel")
+        if not isinstance(kernel, QuantizedTensor):
+            return super().__call__(inputs)
+
+        from flax.linen.linear import canonicalize_padding
+
+        nd = kernel.data.ndim - 2
+        strides = self.strides or 1
+        if isinstance(strides, int):
+            strides = (strides,) * nd
+        padding = canonicalize_padding(self.padding, nd)
+        y = int8_conv(inputs, kernel, strides=tuple(strides), padding=padding,
+                      out_dtype=self.dtype or jnp.float32)
+        if self.use_bias:
+            bias = self.get_variable("params", "bias")
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class QuantDense(nn.Dense):
+    """nn.Dense that runs w8a8 when its kernel was pre-quantized."""
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array) -> jax.Array:
+        kernel = self.get_variable("params", "kernel")
+        if not isinstance(kernel, QuantizedTensor):
+            return super().__call__(inputs)
+        y = int8_matmul(inputs, kernel, out_dtype=self.dtype or jnp.float32)
+        if self.use_bias:
+            bias = self.get_variable("params", "bias")
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,70 @@ def test_quantize_params_hits_only_kernels():
     assert not isinstance(p["gn"]["bias"], Q.QuantizedTensor)
 
 
+@pytest.mark.parametrize("kshape,kw", [
+    ((3, 3), dict(padding=1)),                                  # resnet conv
+    ((1, 1), dict()),                                           # shortcut
+    ((3, 3), dict(strides=(2, 2), padding=1)),                  # downsample
+    ((3, 1, 1), dict(padding=((1, 1), (0, 0), (0, 0)))),        # temporal
+])
+def test_quantconv_exact_path_bitwise(kshape, kw):
+    """Plain-array kernels must go through the STOCK nn.Conv computation —
+    bitwise — so swapping nn.Conv -> QuantConv in the model changes nothing
+    until quantize_params is applied."""
+    from flax import linen as nn
+
+    rng = np.random.default_rng(0)
+    nd = len(kshape)
+    x = jnp.asarray(rng.standard_normal((2, *([8] * nd), 6)), jnp.bfloat16)
+    ref_m = nn.Conv(6, kshape, dtype=jnp.bfloat16, **kw)
+    q_m = Q.QuantConv(6, kshape, dtype=jnp.bfloat16, **kw)
+    params = ref_m.init(jax.random.key(0), x)
+    ref = ref_m.apply(params, x)
+    out = q_m.apply(params, x)
+    assert out.dtype == ref.dtype and bool(jnp.all(out == ref))
+
+
+def test_quantdense_exact_path_bitwise():
+    from flax import linen as nn
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 16)), jnp.bfloat16)
+    for kw in [dict(), dict(use_bias=False)]:
+        ref_m = nn.Dense(8, dtype=jnp.bfloat16, **kw)
+        q_m = Q.QuantDense(8, dtype=jnp.bfloat16, **kw)
+        params = ref_m.init(jax.random.key(0), x)
+        assert bool(jnp.all(q_m.apply(params, x) == ref_m.apply(params, x)))
+
+
+@pytest.mark.parametrize("kshape,kw", [
+    ((3, 3), dict(padding=1)),
+    ((3, 3), dict(strides=(2, 2), padding=1)),
+    ((3, 1, 1), dict(padding=((1, 1), (0, 0), (0, 0)))),
+])
+def test_quantconv_quantized_path_close(kshape, kw):
+    from flax import linen as nn
+
+    rng = np.random.default_rng(1)
+    nd = len(kshape)
+    x = jnp.asarray(rng.standard_normal((2, *([8] * nd), 6)), jnp.float32)
+    m = Q.QuantConv(6, kshape, dtype=jnp.float32, **kw)
+    params = m.init(jax.random.key(0), x)
+    ref = m.apply(params, x)
+    out = jax.jit(m.apply)(Q.quantize_params(params), x)
+    assert out.shape == ref.shape
+    assert _rel_err(out, ref) < 0.03
+
+
+def test_quantdense_quantized_path_close():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    m = Q.QuantDense(8, dtype=jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    ref = m.apply(params, x)
+    out = jax.jit(m.apply)(Q.quantize_params(params), x)
+    assert _rel_err(out, ref) < 0.03
+
+
 def test_quantize_params_predicate():
     from flax import linen as nn
 

@@ -125,6 +125,22 @@ def apply_mesh(pipe, args, template_cfg):
     return pipe
 
 
+def apply_quantize(pipe, template_cfg):
+    """Template key `quantize: int8` — w8a8-quantize the UNet kernels
+    (approximate; pipeline.enable_int8).  Any other value raises; absent or
+    falsy leaves the exact bf16 path untouched."""
+    q = template_cfg.get("quantize", None)
+    if q in (None, "", False, "off", "none"):
+        return pipe
+    if str(q) != "int8":
+        raise ValueError(f"quantize: {q!r} — the only supported mode is 'int8'")
+    logger.warning(
+        "quantize: int8 is an APPROXIMATE mode (w8a8 UNet kernels) — "
+        "quantify the drift for your content via bench.py --preset quality "
+        "or recon_config.enable_recon before production use")
+    return pipe.enable_int8()
+
+
 def check_replaceme(cfg) -> None:
     bad = cfglib.check_no_replaceme(cfg, logger)
     for k in bad:

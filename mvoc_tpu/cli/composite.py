@@ -233,6 +233,7 @@ def main() -> None:
     pipe = common.build_pipeline(args, template)
     pipe = common.apply_unet_options(pipe, template)
     pipe = common.apply_mesh(pipe, args, template)
+    pipe = common.apply_quantize(pipe, template)
 
     configs = []
     for entry in entries:

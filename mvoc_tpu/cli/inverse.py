@@ -206,6 +206,7 @@ def main() -> None:
     pipe = common.build_pipeline(args, template)
     pipe = common.apply_unet_options(pipe, template)
     pipe = common.apply_mesh(pipe, args, template)
+    pipe = common.apply_quantize(pipe, template)
 
     from mvoc_tpu.utils.profiling import StepTimer, save_run_config, trace
 

@@ -204,6 +204,15 @@ def _is_conv_or_dense_kernel(path: tuple, leaf) -> Optional[Sequence[int]]:
     return (leaf.ndim - 1,)
 
 
+def default_unet_predicate(names: Sequence[str]) -> bool:
+    """Default kernel selection for UNet int8: quantize everything except
+    the layers whose precision anchors the eps-prediction — the time/fps
+    embedding MLPs (their output biases every block) and the final conv_out
+    (directly the model output).  All are a negligible flops fraction."""
+    skip = ("time_embedding", "fps_embedding", "conv_out")
+    return not any(s in names for s in skip)
+
+
 def quantize_params(params, *, predicate=None):
     """Quantize every conv/dense kernel in a flax param tree to int8.
 

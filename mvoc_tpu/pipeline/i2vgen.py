@@ -139,6 +139,36 @@ class I2VGenXLPipeline:
                 self._build_jits()
         return self
 
+    def enable_int8(self, predicate=None) -> "I2VGenXLPipeline":
+        """Quantize the UNet's conv/dense kernels to int8 (w8a8).
+
+        An APPROXIMATE acceleration mode in the same contract as
+        capture/encoder reuse (drift quantified by utils/quality; the torch
+        reference computes in fp16 throughout — inverse.py:113-118).  The
+        v5e MXU runs s8 x s8 -> s32 at 2x the bf16 rate and the UNet step is
+        ~100% matmul-class flops, so this targets the exact-path ceiling.
+
+        A load-time param transform only: QuantConv/QuantDense dispatch on
+        the kernel leaf type (ops/quantize.py), the module tree and every
+        downstream jit stay as-built.  VAE/CLIP towers stay bf16 — they run
+        once per video, and VAE decode quality gates the output.  Layers
+        whose precision anchors the eps-prediction (time/fps embeddings,
+        conv_out) keep bf16 by default; pass `predicate(names)->bool` to
+        override the selection."""
+        if self.mesh is not None and self.mesh.size > 1:
+            raise NotImplementedError(
+                "int8 + multi-device mesh: TP shardings for QuantizedTensor "
+                "leaves are not wired yet — call enable_int8 before "
+                "enable_mesh only on a single-device mesh")
+        from mvoc_tpu.ops.quantize import default_unet_predicate, quantize_params
+
+        pred = predicate if predicate is not None else default_unet_predicate
+        self.params = dict(self.params)
+        self.params["unet"] = jax.jit(
+            lambda p: quantize_params(p, predicate=pred))(self.params["unet"])
+        logger.info("UNet params quantized to int8 (w8a8)")
+        return self
+
     def _shard_video(self, x: jax.Array, frame_axis: int = 0) -> jax.Array:
         """Place a video tensor's frame axis over the mesh "seq" axis
         (no-op without a mesh or when frames don't divide)."""

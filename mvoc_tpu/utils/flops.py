@@ -1,0 +1,136 @@
+"""Analytic matmul-class FLOPs accounting for bench MFU.
+
+Why not XLA's `compiled.cost_analysis()["flops"]`: measured against the
+flagship composite step it undercounts ~2x, for two reasons pinned by
+tests/test_flops.py:
+
+  1. `lax.scan`/while bodies are counted ONCE, not x trip-count — the
+     stream composite's capture scan runs (n_obj+1) branch forwards per
+     step but contributes one body to the cost;
+  2. Pallas custom calls contribute nothing (the kernels' `CostEstimate`
+     is a scheduling hint, not part of the HLO cost analysis), so all
+     flash/frame-attention matmul flops vanish.
+
+This module counts from first principles instead:
+
+  * `matmul_flops(fn, *args)` — trace `fn` (no XLA compile) and walk the
+    StableHLO for `convolution` and `dot_general` flops.  Callers pass a
+    SINGLE UNet forward (no scan), so nothing is hidden in loop bodies.
+  * `attention_flops(fn, *args)` — re-trace with the pallas attention
+    entry points patched to tally their analytic flops (4*b*h*sq*sk*d per
+    site; the softmax/renorm VPU work is not MXU flops and is excluded,
+    matching the convention of the conv/dot count).
+  * `forward_flops(fn, *args)` — both of the above, one number.
+
+bench.py composes these per explicit program mix (e.g. exact stream step =
+(n_obj+1) x forward(B=1) + forward(B=2)), which stays honest because the
+step composition is authored in the same file.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import re
+from typing import Any
+
+import numpy as np
+
+
+def _dims(s: str) -> list[int]:
+    return [int(x) for x in re.findall(r"\d+", s)]
+
+
+def stablehlo_matmul_flops(text: str) -> float:
+    """Sum conv + dot_general flops from StableHLO text (one trace, no
+    compile).  Conventions: 2*prod(out_shape)*contraction_size per op."""
+    total = 0.0
+    # stablehlo.convolution(...) : (tensor<AxBx..xf32>, tensor<KxKxIxO..>) -> tensor<OUT>
+    for m in re.finditer(
+            r"stablehlo\.convolution.*?tensor<([\dx]+)x\w+>.*?"
+            r"tensor<([\dx]+)x\w+>\).*?tensor<([\dx]+)x\w+>", text):
+        _, rhs, out = (_dims(g) for g in m.groups())
+        # rhs kernel is [*spatial, I, O]; contraction per output element =
+        # prod(spatial)*I = prod(rhs)/O
+        total += 2.0 * np.prod(out, dtype=float) * np.prod(rhs, dtype=float) / rhs[-1]
+    # stablehlo.dot_general ... contracting_dims = [a] x [b] ... (lhs, rhs) -> out
+    for m in re.finditer(
+            r"stablehlo\.dot_general.*?contracting_dims = \[([\d, ]*)\] x "
+            r"\[[\d, ]*\].*?tensor<([\dx]*x?\w+)>.*?tensor<[\dx]*x?\w+>\)"
+            r" -> tensor<([\dx]*x?\w+)>", text):
+        lc, lhs_s, out_s = m.groups()
+        lhs = _dims(lhs_s.rsplit("x", 1)[0]) if "x" in lhs_s else []
+        out = _dims(out_s.rsplit("x", 1)[0]) if "x" in out_s else []
+        lcd = [int(x) for x in lc.split(",") if x.strip()]
+        k = np.prod([lhs[i] for i in lcd], dtype=float) if lhs else 1.0
+        total += 2.0 * np.prod(out, dtype=float) * k
+    return total
+
+
+def matmul_flops(fn, *args, **kwargs) -> float:
+    """Conv + dot_general flops of one call of `fn` (trace-only)."""
+    import jax
+
+    spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x, (args, kwargs))
+    args, kwargs = spec
+    text = jax.jit(fn).lower(*args, **kwargs).as_text()
+    return stablehlo_matmul_flops(text)
+
+
+@contextlib.contextmanager
+def _attention_tally():
+    """Patch the pallas attention entry points to tally analytic flops
+    during a trace (and skip the actual pallas_call — the tally only needs
+    shapes, and skipping keeps CPU traces interpret-free)."""
+    import jax.numpy as jnp
+
+    from mvoc_tpu.ops import attention as A
+
+    tally = {"flops": 0.0}
+    orig_flash, orig_frame = A.flash_attention, A.frame_attention
+
+    def flash_patch(q, k, v, *a, **kw):
+        b, h, sq, d = q.shape
+        sk = k.shape[2]
+        tally["flops"] += 4.0 * b * h * sq * sk * d
+        return jnp.zeros_like(q)
+
+    def frame_patch(q, k, v, f, heads, bias, **kw):
+        if q.ndim == 4:
+            b, _, s, inner = q.shape
+        else:
+            s, _, inner = q.shape
+            b = 1
+        d = inner // heads
+        tally["flops"] += 4.0 * b * heads * s * f * f * d
+        return jnp.zeros_like(q)
+
+    A.flash_attention, A.frame_attention = flash_patch, frame_patch
+    try:
+        yield tally
+    finally:
+        A.flash_attention, A.frame_attention = orig_flash, orig_frame
+
+
+def forward_flops(fn, *args, **kwargs) -> float:
+    """Total matmul-class flops (conv + dot + attention) of one call of
+    `fn` — for single forwards without internal scans.
+
+    One trace with the pallas entry points tallied-and-stubbed: wherever
+    the dispatch picks the pallas kernels (TPU) the tally counts them;
+    wherever it picks the XLA einsum path (CPU) the StableHLO walk counts
+    the same matmuls as dot_generals.  Either way the total is the same —
+    pinned by tests/test_flops.py."""
+    import jax
+
+    spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x, (args, kwargs))
+    args, kwargs = spec
+    with _attention_tally() as tally:
+        # a fresh jit so the patched trace can't be served from (or poison)
+        # the real function's jit cache
+        text = jax.jit(lambda *a, **k: fn(*a, **k)).lower(
+            *args, **kwargs).as_text()
+    return stablehlo_matmul_flops(text) + tally["flops"]

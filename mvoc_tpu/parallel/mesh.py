@@ -102,15 +102,34 @@ def _kernel_spec(path_names: tuple[str, ...], shape: tuple[int, ...], model_size
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:
-    """Place a parameter pytree on the mesh with TP shardings."""
+    """Place a parameter pytree on the mesh with TP shardings.
+
+    int8-quantized kernels (ops/quantize.QuantizedTensor leaves) shard
+    like their fp counterparts: the int8 data takes the kernel's TP spec;
+    the per-channel scale keeps only the spec axes where it has real
+    (non-broadcast) extent.  The int32 accumulation is associative, so a
+    TP-sharded w8a8 matmul is bit-exact vs single-device."""
+    from mvoc_tpu.ops.quantize import QuantizedTensor
+
     model_size = mesh.shape[MODEL_AXIS]
 
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(
+        params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
     placed = []
     for path, leaf in flat:
         names = tuple(
             p.key if isinstance(p, jax.tree_util.DictKey) else str(p) for p in path
         )
+        if isinstance(leaf, QuantizedTensor):
+            spec = _kernel_spec(names, leaf.data.shape, model_size)
+            parts = tuple(spec) + (None,) * (leaf.data.ndim - len(tuple(spec)))
+            scale_parts = tuple(
+                ax if leaf.scale.shape[i] != 1 else None
+                for i, ax in enumerate(parts))
+            placed.append(QuantizedTensor(
+                jax.device_put(leaf.data, NamedSharding(mesh, P(*parts))),
+                jax.device_put(leaf.scale, NamedSharding(mesh, P(*scale_parts)))))
+            continue
         spec = _kernel_spec(names, np.shape(leaf), model_size)
         placed.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, placed)

@@ -157,9 +157,11 @@ class I2VGenXLPipeline:
         override the selection."""
         if self.mesh is not None and self.mesh.size > 1:
             raise NotImplementedError(
-                "int8 + multi-device mesh: TP shardings for QuantizedTensor "
-                "leaves are not wired yet — call enable_int8 before "
-                "enable_mesh only on a single-device mesh")
+                "call enable_int8 BEFORE enable_mesh: parallel.mesh."
+                "shard_params places QuantizedTensor leaves with TP "
+                "shardings (int32 accumulation is associative, so sharded "
+                "w8a8 stays bit-exact), but re-quantizing already-sharded "
+                "params is not supported")
         from mvoc_tpu.ops.quantize import default_unet_predicate, quantize_params
 
         pred = predicate if predicate is not None else default_unet_predicate

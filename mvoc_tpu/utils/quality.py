@@ -41,12 +41,15 @@ COMPOSITE_MODES = (
                                    capture_reuse_deep=True)),
     ("capture_reuse_k5_deep", dict(capture_reuse_interval=5,
                                    capture_reuse_deep=True)),
+    # w8a8 (every step approximated, vs the k-interval modes above)
+    ("int8", dict(int8=True)),
 )
 INVERSION_MODES = (
     ("inv_encoder_reuse_k2", dict(encoder_reuse_interval=2)),
     ("inv_deep_reuse_k2", dict(encoder_reuse_interval=2, deep_reuse=True)),
     ("inv_deep_reuse_k3", dict(encoder_reuse_interval=3, deep_reuse=True)),
     ("inv_deep_reuse_k5", dict(encoder_reuse_interval=5, deep_reuse=True)),
+    ("inv_int8", dict(int8=True)),
 )
 
 
@@ -143,6 +146,16 @@ class _TinyHarness:
                 p, **kw, encoder_reuse_depth=int(reuse_depth))
         return lambda p, **kw: model.apply(p, **kw)
 
+    def q_params(self):
+        """Params with int8-quantized UNet kernels (computed once)."""
+        if not hasattr(self, "_q_params"):
+            from mvoc_tpu.ops.quantize import (default_unet_predicate,
+                                               quantize_params)
+
+            self._q_params = self.jax.jit(lambda p: quantize_params(
+                p, predicate=default_unet_predicate))(self.params)
+        return self._q_params
+
     def run_inversion(self, x0=None, **kw):
         """Returns the [S, F, h, w, C] trajectory.  Calls on the default x0
         are memoized per knob set (exact baseline shared across modes)."""
@@ -155,19 +168,21 @@ class _TinyHarness:
         jax = self.jax
         kw = dict(kw)
         reuse_depth = kw.pop("reuse_depth", None)
+        int8 = kw.pop("int8", False)
         # one jitted fn per knob set: a fresh jax.jit(lambda) every call
         # would recompile the identical scan (jit caches per function object)
         fns = getattr(self, "_inversion_fns", None)
         if fns is None:
             fns = self._inversion_fns = {}
-        fn_key = tuple(sorted(kw.items())) + (reuse_depth,)
+        fn_key = tuple(sorted(kw.items())) + (reuse_depth, int8)
         fn = fns.get(fn_key)
         if fn is None:
             fn = fns[fn_key] = jax.jit(
                 lambda p, x, c, ts: self.core.ddim_inversion_core(
                     self.apply_fn(reuse_depth), self.ddim, p, x, c, ts,
                     self.invert_steps, 1.0, **kw))
-        out = fn(self.params, self.x0 if x0 is None else x0, self.cond1,
+        out = fn(self.q_params() if int8 else self.params,
+                 self.x0 if x0 is None else x0, self.cond1,
                  self.jnp.asarray(self.inv_ts))
         out = np.asarray(jax.block_until_ready(out))
         if memo_key is not None:
@@ -214,6 +229,7 @@ class _TinyHarness:
             return cache[memo_key]
         jax, jnp = self.jax, self.jnp
         reuse_depth = kw.pop("reuse_depth", None)
+        int8 = kw.pop("int8", False)
         cw = self.cw if two_pass == "stream" else None
         fn = jax.jit(lambda p, lat, c, s: self.core.pnp_composite_core(
             self.apply_fn(reuse_depth), self.ddim, p, lat, c, s,
@@ -221,7 +237,8 @@ class _TinyHarness:
             num_inference_steps=self.compose_steps, guidance_scale=9.0,
             random_noise_ratio=0.5, two_pass=two_pass,
             capture_weights=cw, **kw))
-        out = fn(self.params, self.xT, self.condN, self.sched())
+        out = fn(self.q_params() if int8 else self.params,
+                 self.xT, self.condN, self.sched())
         out = np.asarray(jax.block_until_ready(out))
         cache[memo_key] = out
         return out

@@ -113,6 +113,75 @@ def _attention_tally():
         A.flash_attention, A.frame_attention = orig_flash, orig_frame
 
 
+def _eqn_dot_flops(eqn) -> float:
+    (lc, _), _ = eqn.params["dimension_numbers"]
+    lhs = eqn.invars[0].aval.shape
+    out = eqn.outvars[0].aval.shape
+    k = np.prod([lhs[i] for i in lc], dtype=float) if lhs else 1.0
+    return 2.0 * np.prod(out, dtype=float) * k
+
+
+def _eqn_conv_flops(eqn) -> float:
+    dn = eqn.params["dimension_numbers"]
+    rhs = eqn.invars[1].aval.shape
+    out = eqn.outvars[0].aval.shape
+    g = eqn.params.get("feature_group_count", 1)
+    out_ch_axis = dn.rhs_spec[0]  # rhs_spec = (O, I, *spatial) axis indices
+    contraction = np.prod(rhs, dtype=float) / rhs[out_ch_axis] / g
+    return 2.0 * np.prod(out, dtype=float) * contraction
+
+
+def jaxpr_matmul_flops(fn, *args, **kwargs) -> float:
+    """Matmul-class flops of one call of `fn`, counted by walking the
+    jaxpr: `scan` bodies multiply by trip count, `pallas_call` kernel
+    bodies multiply by grid size (so the flash/frame attention kernels'
+    in-kernel dot_generals are counted exactly, padding included),
+    `cond`/`switch` take the most expensive branch, `while` bodies count
+    once (none of the bench programs hide matmuls in unbounded whiles).
+
+    This is the honest replacement for XLA's `cost_analysis()["flops"]`,
+    which counts loop bodies once and pallas custom-calls as zero."""
+    import jax
+
+    spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x, (args, kwargs))
+    args, kwargs = spec
+
+    def walk(jaxpr) -> float:
+        total = 0.0
+        for eqn in jaxpr.eqns:
+            prim = eqn.primitive.name
+            if prim == "dot_general":
+                total += _eqn_dot_flops(eqn)
+            elif prim == "conv_general_dilated":
+                total += _eqn_conv_flops(eqn)
+            elif prim == "scan":
+                total += eqn.params["length"] * walk(eqn.params["jaxpr"].jaxpr)
+            elif prim == "while":
+                total += walk(eqn.params["body_jaxpr"].jaxpr)
+            elif prim == "cond":
+                total += max(walk(b.jaxpr) for b in eqn.params["branches"])
+            elif prim == "pallas_call":
+                inner = eqn.params["jaxpr"]
+                inner = getattr(inner, "jaxpr", inner)
+                gm = eqn.params.get("grid_mapping")
+                grid = np.prod(gm.grid, dtype=float) if gm is not None and gm.grid else 1.0
+                total += grid * walk(inner)
+            else:
+                # recurse into any nested jaxprs (pjit, closed_call, remat,
+                # custom_jvp/vjp, shard_map, checkpoint, ...)
+                for v in eqn.params.values():
+                    if hasattr(v, "jaxpr"):
+                        total += walk(getattr(v, "jaxpr"))
+                    elif hasattr(v, "eqns"):
+                        total += walk(v)
+        return total
+
+    closed = jax.make_jaxpr(lambda *a, **k: fn(*a, **k))(*args, **kwargs)
+    return walk(closed.jaxpr)
+
+
 def forward_flops(fn, *args, **kwargs) -> float:
     """Total matmul-class flops (conv + dot + attention) of one call of
     `fn` — for single forwards without internal scans.

@@ -72,6 +72,48 @@ def test_forward_flops_counts_attention_on_either_dispatch():
     assert total == pytest.approx(expect, rel=0.01)
 
 
+def test_jaxpr_flops_scan_multiplies_by_trip_count():
+    w = jnp.zeros((16, 16))
+
+    def one(x):
+        return x @ w
+
+    def scanned(x):
+        x, _ = jax.lax.scan(lambda c, _: (one(c), None), x, None, length=5)
+        return x
+
+    x = jnp.zeros((4, 16))
+    assert FL.jaxpr_matmul_flops(one, x) == 2 * 4 * 16 * 16
+    assert FL.jaxpr_matmul_flops(scanned, x) == 5 * 2 * 4 * 16 * 16
+
+
+def test_jaxpr_flops_counts_pallas_kernel_body():
+    """The flash kernel's in-kernel dot_generals must be counted x grid."""
+    from mvoc_tpu.ops.attention import flash_attention
+
+    b, h, s, d = 1, 2, 256, 64
+    q = jnp.zeros((b, h, s, d), jnp.float32)
+    got = FL.jaxpr_matmul_flops(
+        lambda q, k, v: flash_attention(q, k, v, interpret=True), q, q, q)
+    # QK^T + PV = 4*b*h*s*s*d (blocks exactly tile 256, no padding waste)
+    assert got == 4 * b * h * s * s * d
+
+
+def test_jaxpr_flops_conv_and_cond():
+    x = jnp.zeros((2, 8, 8, 4))
+    w = jnp.zeros((3, 3, 4, 6))
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+
+    def f(x, w):
+        conv = lambda: jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
+        # cond: the counter takes the most expensive branch
+        return jax.lax.cond(x.sum() > 0, conv, conv)
+
+    got = FL.jaxpr_matmul_flops(f, x, w)
+    assert got == 2 * 2 * 8 * 8 * 6 * (3 * 3 * 4)
+
+
 def test_forward_flops_tiny_unet_exceeds_matmul_only():
     """On the tiny UNet the attention tally must add to the conv/dot walk
     (and the composition must be deterministic across traces)."""

@@ -1,30 +1,20 @@
 """Analytic matmul-class FLOPs accounting for bench MFU.
 
-Why not XLA's `compiled.cost_analysis()["flops"]`: measured against the
-flagship composite step it undercounts ~2x, for two reasons pinned by
-tests/test_flops.py:
+Why not XLA's `compiled.cost_analysis()["flops"]`: it counts `lax.scan` /
+while BODIES ONCE, not x trip-count.  The stream composite's capture scan
+runs (n_obj+1) branch forwards per step but contributes one body to the
+reported cost, so the flagship step's flops (and therefore MFU) were
+undercounted ~40% through round 3 (reported 62.3 TF/step and MFU 0.27;
+true ~104 TF and ~0.45).  Pallas custom calls are fine — the kernels pass
+`CostEstimate` and XLA's analysis does include it; the scan hole is the
+only one (pinned by tests/test_flops.py).
 
-  1. `lax.scan`/while bodies are counted ONCE, not x trip-count — the
-     stream composite's capture scan runs (n_obj+1) branch forwards per
-     step but contributes one body to the cost;
-  2. Pallas custom calls contribute nothing (the kernels' `CostEstimate`
-     is a scheduling hint, not part of the HLO cost analysis), so all
-     flash/frame-attention matmul flops vanish.
-
-This module counts from first principles instead:
-
-  * `matmul_flops(fn, *args)` — trace `fn` (no XLA compile) and walk the
-    StableHLO for `convolution` and `dot_general` flops.  Callers pass a
-    SINGLE UNet forward (no scan), so nothing is hidden in loop bodies.
-  * `attention_flops(fn, *args)` — re-trace with the pallas attention
-    entry points patched to tally their analytic flops (4*b*h*sq*sk*d per
-    site; the softmax/renorm VPU work is not MXU flops and is excluded,
-    matching the convention of the conv/dot count).
-  * `forward_flops(fn, *args)` — both of the above, one number.
-
-bench.py composes these per explicit program mix (e.g. exact stream step =
-(n_obj+1) x forward(B=1) + forward(B=2)), which stays honest because the
-step composition is authored in the same file.
+`jaxpr_matmul_flops(fn, *args)` is the honest counter: it walks the jaxpr
+recursively, multiplying scan bodies by trip count and pallas kernel
+bodies by grid size (so the flash/frame-attention in-kernel dot_generals
+are counted exactly as executed, padding included).  The StableHLO-text
+walk (`matmul_flops`) and the trace-time attention tally remain as
+cross-checks.
 """
 
 from __future__ import annotations

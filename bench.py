@@ -120,7 +120,37 @@ def mfu_fields(compiled_costs, steps_per_sec):
     return out
 
 
-def timed_loop(iters, body, probe, t_ref, trace_dir=None):
+def step_floor(costs) -> float:
+    """Speed-of-light seconds per average step for a (flops, weight) mix —
+    the physical lower bound timed_loop uses to reject collapsed timings."""
+    peak = peak_tflops_per_sec()
+    if not peak:
+        return 0.0
+    return sum(f * w for f, w in costs) / peak
+
+
+METRIC_SUFFIX = ""  # set to "_int8" by --int8 (appended to every metric)
+
+
+def emit(rec, anomaly) -> None:
+    """Print the bench record, refusing physically impossible ones.
+
+    MFU > 1 means the runtime did not actually execute the measured program
+    (the axon dedup/async failure mode — TPU_RUNS_r04.log ab_frame_sblk128
+    recorded 564 steps/s / MFU 178 before this guard); such records become
+    a structured {"error": "invalid_timing"} instead of a bogus number."""
+    if METRIC_SUFFIX and "metric" in rec:
+        rec["metric"] = rec["metric"] + METRIC_SUFFIX
+    if anomaly:
+        rec["async_anomaly"] = anomaly  # True, or "invalid"
+    if anomaly == "invalid" or rec.get("mfu", 0.0) > 1.0:
+        rec = {"metric": rec.get("metric"), "value": None,
+               "unit": rec.get("unit"), "vs_baseline": None,
+               "error": "invalid_timing", "detail": rec}
+    print(json.dumps(rec))
+
+
+def timed_loop(iters, body, probe, t_ref, trace_dir=None, t_floor=0.0):
     """Time `iters` calls of body(i) chained (async dispatch, one final
     block on probe()), then sanity-check against `t_ref` — the EXPECTED
     average wall time of one step, measured with blocking (for mixed
@@ -140,12 +170,24 @@ def timed_loop(iters, body, probe, t_ref, trace_dir=None):
     goes to trace_dir/retime so the bogus chained loop is not counted)
     and the device-op breakdown is printed to stderr.
 
-    Returns (dt, async_anomaly)."""
+    `t_floor` is the per-step speed-of-light bound (program flops / chip
+    peak).  The ab_frame_sblk128 run (TPU_RUNS_r04.log) showed t_ref itself
+    can collapse — the single blocked reference step ALSO returned
+    instantly, so the /3 guard had nothing to stand on and a 564 steps/s,
+    MFU-178 record got emitted.  A physical floor can't collapse: t_ref is
+    clamped to it, and if even the blocked re-time beats the floor the
+    anomaly flag comes back as "invalid" for the caller to refuse the
+    record.
+
+    Returns (dt, async_anomaly) — async_anomaly is False, True, or
+    "invalid"."""
     import time as _time
 
     import jax
 
     from mvoc_tpu.utils import profiling as _prof
+
+    t_ref = max(t_ref, t_floor)
 
     def _run(blocked, tdir):
         t0 = _time.perf_counter()
@@ -169,15 +211,34 @@ def timed_loop(iters, body, probe, t_ref, trace_dir=None):
           f"steps vs {t_ref:.3f}s expected/step) — re-timing with per-step "
           "blocking", file=sys.stderr)
     retrace = os.path.join(trace_dir, "retime") if trace_dir else None
-    return _run(blocked=True, tdir=retrace), True
+    dt = _run(blocked=True, tdir=retrace)
+    if t_floor > 0 and dt < iters * t_floor / 3:
+        print(f"WARNING: even the BLOCKED re-time ({dt:.3f}s for {iters} "
+              f"steps) beats the physical floor {t_floor:.3f}s/step — the "
+              "runtime is not executing this program; record is invalid",
+              file=sys.stderr)
+        return dt, "invalid"
+    return dt, True
 
 
 def cost_flops(jitted, *args, **kwargs):
-    """FLOPs of one call of a jitted function per XLA cost analysis
-    (returns 0.0 when the backend doesn't expose it).  Lowers on
-    ShapeDtypeStructs so donated (deleted) arrays are fine as args."""
+    """Matmul-class FLOPs of one call of a jitted function.
+
+    Counts by walking the jaxpr (utils/flops.jaxpr_matmul_flops): scan
+    bodies multiply by trip count and pallas kernel bodies by grid size.
+    XLA's own cost_analysis counts scan bodies ONCE — the stream capture
+    scan runs n_obj+1 forwards per step but contributed one body, so every
+    pre-round-4 MFU was ~40% low (ROUND_NOTES r4).  Falls back to the XLA
+    number if the walk fails.  Operates on ShapeDtypeStructs so donated
+    (deleted) arrays are fine as args."""
     import jax
 
+    try:
+        from mvoc_tpu.utils.flops import jaxpr_matmul_flops
+
+        return float(jaxpr_matmul_flops(jitted, *args, **kwargs))
+    except Exception:
+        pass
     try:
         spec = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
@@ -551,7 +612,8 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             mesh_devices: int = 0, batch: bool = False, reuse: int = 1,
             reuse_depth=None, reuse_deep: bool = False,
             capture_reuse: int = 1, capture_reuse_deep: bool = False,
-            inv_reuse: int = 0, inv_reuse_deep: bool = False):
+            inv_reuse: int = 0, inv_reuse_deep: bool = False,
+            int8: bool = False):
     """End-to-end MVOC workflow wall-clock: DDIM-invert the background +
     2 object videos (500 steps each, cfg=1, like the reference's stage 1 —
     reference: group_inversion/template.yaml:30-34) then run the 50-step
@@ -645,6 +707,11 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         params = jax.jit(lambda p: jax.tree.map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             p))(params)
+    if int8:
+        from mvoc_tpu.ops.quantize import default_unet_predicate, quantize_params
+
+        params = jax.jit(lambda p: quantize_params(
+            p, predicate=default_unet_predicate))(params)
     ddim = DDIM(SchedulerConfig())
 
     def make_apply(mesh):
@@ -846,7 +913,8 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         + ("_invreuse%d%s" % (inv_reuse, "deep" if inv_reuse_deep else "")
            if inv_reuse > 1 else "")
         + ("_capreuse%d%s" % (capture_reuse, "deep" if capture_reuse_deep
-                              else "") if capture_reuse > 1 else ""),
+                              else "") if capture_reuse > 1 else "")
+        + ("_int8" if int8 else ""),
         "value": round(total, 2),
         "unit": "s",
         "vs_baseline": None,
@@ -915,9 +983,16 @@ def main():
                     "jax.profiler trace of the measured iterations into DIR "
                     "and print the device-op breakdown "
                     "(utils.profiling.device_op_breakdown) to stderr")
+    ap.add_argument("--int8", action="store_true",
+                    help="(step presets) w8a8-quantize the UNet kernels "
+                    "(ops/quantize; approximate — drift in --preset "
+                    "quality); metric gains an _int8 suffix")
     args = ap.parse_args()
     if args.trace and args.preset in ("e2e", "quality"):
         ap.error("--trace applies to the step presets, not e2e/quality")
+    if args.int8 and args.preset == "quality":
+        ap.error("--int8 applies to the step/e2e presets (quality reports "
+                 "int8 drift on its own)")
 
     import jax
 
@@ -991,7 +1066,8 @@ def main():
                 reuse_depth=args.reuse_depth, reuse_deep=args.reuse_deep,
                 capture_reuse=args.capture_reuse,
                 capture_reuse_deep=args.capture_reuse_deep,
-                inv_reuse=args.inv_reuse, inv_reuse_deep=args.inv_reuse_deep)
+                inv_reuse=args.inv_reuse, inv_reuse_deep=args.inv_reuse_deep,
+                int8=args.int8)
         return
 
     iters = args.iters or (10 if args.preset.startswith("full")
@@ -999,6 +1075,17 @@ def main():
     make_step, make_two_pass, make_stream, make_pab, params, sample, latents = build(
         args.preset, natural=args.natural, reuse_depth=args.reuse_depth)
     import jax.numpy as jnp
+
+    if args.int8:
+        # load-time param transform; QuantConv/QuantDense dispatch on the
+        # kernel leaf type, every step program below is otherwise unchanged
+        from mvoc_tpu.ops.quantize import default_unet_predicate, quantize_params
+
+        params = jax.jit(lambda p: quantize_params(
+            p, predicate=default_unet_predicate))(params)
+        jax.block_until_ready(params)
+        global METRIC_SUFFIX
+        METRIC_SUFFIX = "_int8"
 
     gate = jnp.asarray(True)  # traced input: injection work cannot be DCE'd
     if args.stream and args.capture_reuse > 1:
@@ -1030,11 +1117,11 @@ def main():
             else:
                 s, l, c = st_fresh(params, s, l, gate)
 
-        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref,
-                                 args.trace)
         costs = [(cost_flops(st_fresh, params, s, l, gate), 1.0 / k),
                  (cost_flops(st_cached, params, s, l, gate, c), (k - 1.0) / k)]
-        print(json.dumps({
+        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref,
+                                 args.trace, t_floor=step_floor(costs))
+        emit({
             "metric": {
                 "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
                 "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
@@ -1047,8 +1134,7 @@ def main():
             "unit": "steps/s",
             "vs_baseline": None,
             **mfu_fields(costs, iters / dt),
-            **({"async_anomaly": True} if anomaly else {}),
-        }))
+        }, anomaly)
         return
     if args.stream:
         want_cache = args.reuse > 1
@@ -1091,14 +1177,14 @@ def main():
             else:
                 s, l = st(params, s, l, gate)
 
-        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref,
-                                 args.trace)
         k = args.reuse
         costs = [(cost_flops(st, params, s, l, gate), 1.0 / k)]
         if st_cached is not None:
             costs.append((cost_flops(st_cached, params, s, l, gate, c),
                           (k - 1.0) / k))
-        print(json.dumps({
+        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref,
+                                 args.trace, t_floor=step_floor(costs))
+        emit({
             "metric": {
                 "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
                 "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
@@ -1113,8 +1199,7 @@ def main():
             "vs_baseline": round((iters / dt) / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3)
             if args.preset == "full" and args.reuse == 1 else None,
             **mfu_fields(costs, iters / dt),
-            **({"async_anomaly": True} if anomaly else {}),
-        }))
+        }, anomaly)
         return
     if args.two_pass:
         want_cache = args.reuse > 1
@@ -1157,14 +1242,14 @@ def main():
             else:
                 s, l = tp(params, s, l, gate)
 
-        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref,
-                                 args.trace)
         k = args.reuse
         costs = [(cost_flops(tp, params, s, l, gate), 1.0 / k)]
         if tp_cached is not None:
             costs.append((cost_flops(tp_cached, params, s, l, gate, c),
                           (k - 1.0) / k))
-        print(json.dumps({
+        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref,
+                                 args.trace, t_floor=step_floor(costs))
+        emit({
             "metric": {
                 "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
                 "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
@@ -1178,8 +1263,7 @@ def main():
             "unit": "steps/s",
             "vs_baseline": None,
             **mfu_fields(costs, iters / dt),
-            **({"async_anomaly": True} if anomaly else {}),
-        }))
+        }, anomaly)
         return
 
     if args.pab > 1:
@@ -1209,12 +1293,12 @@ def main():
             else:
                 s, l, c = pab_fresh(params, s, l, gate)
 
-        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref,
-                                 args.trace)
         k = args.pab
         costs = [(cost_flops(pab_fresh, params, s, l, gate), 1.0 / k),
                  (cost_flops(pab_cached, params, s, l, gate, c), (k - 1.0) / k)]
-        print(json.dumps({
+        dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref,
+                                 args.trace, t_floor=step_floor(costs))
+        emit({
             "metric": {
                 "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
                 "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
@@ -1226,8 +1310,7 @@ def main():
             "unit": "steps/s",
             "vs_baseline": None,
             **mfu_fields(costs, iters / dt),
-            **({"async_anomaly": True} if anomaly else {}),
-        }))
+        }, anomaly)
         return
 
     fresh_step = make_step(cached=False, want_cache=args.reuse > 1)
@@ -1261,15 +1344,16 @@ def main():
         else:
             s, l, c = fresh_step(params, s, l, gate)
 
-    dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref, args.trace)
-
-    steps_per_sec = iters / dt
     k = args.reuse
     costs = [(cost_flops(fresh_step, params, s, l, gate), 1.0 / k)]
     if cached_step is not None:
         costs.append((cost_flops(cached_step, params, s, l, gate, c),
                       (k - 1.0) / k))
-    print(json.dumps({
+    dt, anomaly = timed_loop(iters, body, lambda: (s, l), t_ref, args.trace,
+                             t_floor=step_floor(costs))
+
+    steps_per_sec = iters / dt
+    emit({
         "metric": {
             "full": "composite_denoise_steps_per_sec_per_chip_16f_512px",
             "full720": "composite_denoise_steps_per_sec_per_chip_16f_720p",
@@ -1283,8 +1367,7 @@ def main():
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3)
         if args.preset == "full" else None,
         **mfu_fields(costs, steps_per_sec),
-        **({"async_anomaly": True} if anomaly else {}),
-    }))
+    }, anomaly)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# Drop-in nn.Conv/nn.Dense: identical (bitwise, tests/test_quantize.py)
+# until ops/quantize.quantize_params installs int8 kernel leaves, at which
+# point the w8a8 path dispatches (the `quantize: int8` approximate mode).
+from mvoc_tpu.ops.quantize import QuantConv, QuantDense
+
 # A QKEdit receives (q, k) immediately after the q/k projections (pre-head
 # split) and returns edited (q, k).  This is the functional replacement for
 # the reference's modified attention processors (pnp_utils.py:604-672).
@@ -61,9 +66,9 @@ class TimestepEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, sample: jax.Array) -> jax.Array:
-        sample = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(sample)
+        sample = QuantDense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(sample)
         sample = nn.silu(sample)
-        sample = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(sample)
+        sample = QuantDense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(sample)
         return sample
 
 
@@ -172,15 +177,11 @@ def sdpa(
         if mesh_active:
             out = flash.sharded_flash_attention(
                 qh, kh, vh, mesh, interpret=flash.env_interpret())
-        elif flash.use_jax_reference_flash(sq, sk):
-            # measurement-only A/B against the upstream jax pallas kernel
-            # (MVOC_FLASH_IMPL=jax); unset -> identical HLO to the shipped
-            # kernel, so the persistent compile cache stays valid
-            from jax.experimental.pallas.ops.tpu import flash_attention as jfa
-
-            out = jfa.flash_attention(qh, kh, vh,
-                                      sm_scale=1.0 / math.sqrt(d))
         else:
+            # (the upstream jax.experimental.pallas TPU flash kernel was
+            # A/B'd here round 4 and measured 0.46 vs 0.85 steps/s on the
+            # default preset — this kernel is 1.85x faster on this
+            # workload; TPU_RUNS_r04.log ab_flash_impl_jax)
             out = flash.flash_attention(qh, kh, vh)
         return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
 
@@ -347,9 +348,9 @@ class Attention(nn.Module):
     ) -> jax.Array:
         inner = self.heads * self.dim_head
         ctx = encoder_hidden_states if encoder_hidden_states is not None else hidden_states
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden_states)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = QuantDense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden_states)
+        k = QuantDense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = QuantDense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
         if qk_edit is not None:
             q, k = qk_edit(q, k)
         if self.attn_impl is not None:
@@ -360,7 +361,7 @@ class Attention(nn.Module):
         else:
             out = sdpa(q, k, v, self.heads, mask=attn_mask,
                        mesh=self.attn_mesh)
-        out = nn.Dense(self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0")(out)
+        out = QuantDense(self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0")(out)
         return out
 
 
@@ -390,10 +391,10 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         inner = self.inner_dim or self.dim * 4
-        proj_in = nn.Dense(
+        proj_in = QuantDense(
             inner * 2 if self.activation == "geglu" else inner,
             dtype=self.dtype, name="net_0_proj")
-        proj_out = nn.Dense(self.dim, dtype=self.dtype, name="net_2")
+        proj_out = QuantDense(self.dim, dtype=self.dtype, name="net_2")
 
         def ff(t):
             h = proj_in(t)
@@ -525,7 +526,7 @@ class Transformer2DModel(nn.Module):
         residual = hidden_states
         x = GroupNorm(self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(hidden_states)
         x = x.reshape(bf, h * w, c)
-        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        x = QuantDense(inner, dtype=self.dtype, name="proj_in")(x)
         for i in range(self.num_layers):
             x = BasicTransformerBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
@@ -534,7 +535,7 @@ class Transformer2DModel(nn.Module):
             )(x, encoder_hidden_states,
               attn1_qk_edit=attn1_qk_edit if i == 0 else None,
               pab=(pab[0], pab[1], f"{pab[2]}.b{i}") if pab else None)
-        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        x = QuantDense(c, dtype=self.dtype, name="proj_out")(x)
         return x.reshape(bf, h, w, c) + residual
 
 
@@ -620,7 +621,7 @@ class TransformerTemporalModel(nn.Module):
         else:
             # [B, F, H, W, C] -> [B*H*W, F, C]
             x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, num_frames, c)
-        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        x = QuantDense(inner, dtype=self.dtype, name="proj_in")(x)
         attn_mask = None
         attn_impl = None
         if self.context_parallel is not None:
@@ -649,7 +650,7 @@ class TransformerTemporalModel(nn.Module):
             )(x, attn1_qk_edit=attn1_qk_edit if i == 0 else None,
               attn_mask=attn_mask,
               pab=(pab[0], pab[1], f"{pab[2]}.b{i}") if pab else None)
-        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        x = QuantDense(c, dtype=self.dtype, name="proj_out")(x)
         if natural:
             x = x.reshape(bf, h, w, c)
         else:
@@ -681,17 +682,17 @@ class ResnetBlock2D(nn.Module):
         in_c = x.shape[-1]
         h = GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = QuantConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
-            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+            t = QuantDense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
         h = GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = QuantConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if pnp_edit is not None:
             h = pnp_edit(h)
         if in_c != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+            x = QuantConv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 
@@ -724,7 +725,7 @@ class TemporalConvLayer(nn.Module):
             h = GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype, name=f"{name}_norm")(h)
             h = nn.silu(h)
             init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
-            return nn.Conv(
+            return QuantConv(
                 dim, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
                 kernel_init=init, dtype=self.dtype, name=f"{name}_conv",
             )(h)
@@ -747,7 +748,7 @@ class Downsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Conv(
+        return QuantConv(
             self.out_channels, (3, 3), strides=(2, 2), padding=1,
             dtype=self.dtype, name="conv",
         )(x)
@@ -770,4 +771,4 @@ class Upsample2D(nn.Module):
         ys = (jnp.arange(target[0]) * (h / target[0])).astype(jnp.int32)
         xs = (jnp.arange(target[1]) * (w / target[1])).astype(jnp.int32)
         x = x[:, ys][:, :, xs]
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return QuantConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)

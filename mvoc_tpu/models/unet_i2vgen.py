@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mvoc_tpu import pnp as pnp_lib
+from mvoc_tpu.ops.quantize import QuantConv, QuantDense
 from mvoc_tpu.models.layers import (
     Attention,
     BasicTransformerBlock,
@@ -700,14 +701,14 @@ class I2VGenXLUNet(nn.Module):
         # image-latent context tokens from conv tower + adaptive pool
         n_ctx_frames = f if multi_frame_guidance else 1
         il = image_latents[:, :n_ctx_frames].reshape((b * n_ctx_frames, h, w, c_in))
-        il = nn.Conv(c_in * 8, (3, 3), padding=1, dtype=self.dtype,
+        il = QuantConv(c_in * 8, (3, 3), padding=1, dtype=self.dtype,
                      name="image_latents_context_embedding_0")(il)
         il = nn.silu(il)
         il = _adaptive_avg_pool2d(il, (32, 32)).astype(self.dtype)
-        il = nn.Conv(c_in * 16, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+        il = QuantConv(c_in * 16, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
                      name="image_latents_context_embedding_3")(il)
         il = nn.silu(il)
-        il = nn.Conv(cfg.cross_attention_dim, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+        il = QuantConv(cfg.cross_attention_dim, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
                      name="image_latents_context_embedding_5")(il)
         n_img_tokens = il.shape[1] * il.shape[2]
         il_tokens = il.reshape(b, n_ctx_frames, n_img_tokens, cfg.cross_attention_dim)
@@ -716,9 +717,9 @@ class I2VGenXLUNet(nn.Module):
         ) if n_ctx_frames == 1 else il_tokens
 
         # CLIP image embedding -> 4 pseudo-tokens (context_embedding MLP)
-        ie = nn.Dense(cfg.time_embed_dim, dtype=self.dtype, name="context_embedding_0")(image_embeddings)
+        ie = QuantDense(cfg.time_embed_dim, dtype=self.dtype, name="context_embedding_0")(image_embeddings)
         ie = nn.silu(ie)
-        ie = nn.Dense(cfg.cross_attention_dim * c_in, dtype=self.dtype, name="context_embedding_2")(ie)
+        ie = QuantDense(cfg.cross_attention_dim * c_in, dtype=self.dtype, name="context_embedding_2")(ie)
         ie_tokens = ie.reshape(b, f, c_in, cfg.cross_attention_dim)
 
         text = jnp.broadcast_to(
@@ -731,11 +732,11 @@ class I2VGenXLUNet(nn.Module):
         # image_latents_first -> proj_in convs -> temporal encoder
         # (pipeline_i2vgen_xl.py:264-282)
         ilf = image_latents_first.reshape(b * f, h, w, c_in)
-        ilf = nn.Conv(c_in * 4, (1, 1), dtype=self.dtype, name="image_latents_proj_in_0")(ilf)
+        ilf = QuantConv(c_in * 4, (1, 1), dtype=self.dtype, name="image_latents_proj_in_0")(ilf)
         ilf = nn.silu(ilf)
-        ilf = nn.Conv(c_in * 4, (3, 3), padding=1, dtype=self.dtype, name="image_latents_proj_in_2")(ilf)
+        ilf = QuantConv(c_in * 4, (3, 3), padding=1, dtype=self.dtype, name="image_latents_proj_in_2")(ilf)
         ilf = nn.silu(ilf)
-        ilf = nn.Conv(c_in, (3, 3), padding=1, dtype=self.dtype, name="image_latents_proj_in_4")(ilf)
+        ilf = QuantConv(c_in, (3, 3), padding=1, dtype=self.dtype, name="image_latents_proj_in_4")(ilf)
         ilf = ilf.reshape(b, f, h, w, c_in).transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c_in)
         ilf = ImageLatentsTemporalEncoder(
             dim=c_in, heads=cfg.img_temporal_encoder_heads,
@@ -752,7 +753,7 @@ class I2VGenXLUNet(nn.Module):
             # 5. pre-process: channel concat + conv_in + transformer_in
             x = sample.reshape(b * f, h, w, c_in).astype(self.dtype)
             x = jnp.concatenate([x, ilf], axis=-1)
-            x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+            x = QuantConv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
             x = TransformerTemporalModel(
                 ch0, cfg.transformer_in_heads,
                 cfg.transformer_in_head_dim or cfg.attention_head_dim,
@@ -859,7 +860,7 @@ class I2VGenXLUNet(nn.Module):
         # 9. post-process (+ out-conv PnP injection, pnp_utils.py:1108-1159)
         x = GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+        x = QuantConv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         if capture is not None:
             if pnp is not None and pnp.capture_weight is not None:
                 capture["out_conv"] = pnp_lib.stream_capture_conv(

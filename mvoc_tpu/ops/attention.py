@@ -244,10 +244,10 @@ def frame_attention(
     # TPU_RUNS_r03.log fold2_512 / fold2_720)
     m_eff, d_eff, s_eff = m, d, s
 
-    # fp32 logits block [s_blk, M, M] must fit VMEM alongside q/k/v tiles
-    # (MVOC_FRAME_SBLK: measurement-only A/B knob, default unchanged)
-    s_blk = _pick_block(
-        s_eff, int(os.environ.get("MVOC_FRAME_SBLK", 0)) or 64, multiple=8)
+    # fp32 logits block [s_blk, M, M] must fit VMEM alongside q/k/v tiles.
+    # s_blk=64 decided by round-4 hardware A/B: 128 measured a dead tie
+    # (0.8521 vs 0.8526 steps/s, TPU_RUNS_r04.log ab_frame_sblk128_retry)
+    s_blk = _pick_block(s_eff, 64, multiple=8)
     if s_eff % s_blk:
         pad = -s_eff % s_blk
         qm = jnp.pad(qm, ((0, 0), (0, pad), (0, 0), (0, 0)))

@@ -251,3 +251,50 @@ def test_apply_unet_options_with_cp_template(rng, monkeypatch):
     with pytest.warns(UserWarning, match="overrides temporal_natural_layout"):
         pipe.unet.apply(pipe.params["unet"], **inputs)
     assert calls["n"] > 0, "template context_parallel had no effect"
+
+
+def test_sharded_int8_unet_matches_single_device(rng):
+    """int8 w8a8 under the 8-device TP mesh == single-device int8, tightly:
+    the s32 accumulation is associative, so sharding the contraction
+    (row-split kernels psum int32 partials before the fp dequant) cannot
+    change the math beyond fp re-association of the dequant epilogue.
+    Validates parallel.mesh.shard_params' QuantizedTensor placement
+    end-to-end through the tiny UNet."""
+    import jax.numpy as jnp
+
+    from mvoc_tpu.models.unet_i2vgen import I2VGenXLUNet, UNetConfig
+    from mvoc_tpu.ops.quantize import (QuantizedTensor,
+                                       default_unet_predicate,
+                                       quantize_params)
+
+    cfg = UNetConfig.tiny()
+    B, F, H, W = 2, 8, 8, 8
+    d = cfg.cross_attention_dim
+    inputs = dict(
+        sample=_mk(rng, B, F, H, W, 4),
+        timestep=jnp.asarray([500] * B),
+        fps=jnp.asarray([8] * B),
+        image_latents_first=_mk(rng, B, F, H, W, 4),
+        image_latents=_mk(rng, B, F, H, W, 4),
+        image_embeddings=_mk(rng, B, F, d),
+        encoder_hidden_states=_mk(rng, B, 7, d),
+    )
+    model = I2VGenXLUNet(cfg)
+    params = model.init(jax.random.key(0), **inputs)
+    qp = quantize_params(params, predicate=default_unet_predicate)
+
+    ref = np.asarray(jax.jit(lambda p, kw: model.apply(p, **kw))(qp, inputs))
+
+    mesh = pm.make_mesh(8)
+    sharded_qp = pm.shard_params(qp, mesh)
+    # spot-check: a quantized kernel leaf actually carries a TP sharding
+    leaf = sharded_qp["params"]["transformer_in"]["transformer_blocks_0"][
+        "attn1"]["to_q"]["kernel"]
+    assert isinstance(leaf, QuantizedTensor)
+    assert "model" in str(leaf.data.sharding.spec)
+    sharded_inputs = dict(inputs)
+    for key in ("sample", "image_latents_first", "image_latents"):
+        sharded_inputs[key] = pm.shard_video(inputs[key], mesh)
+    out = np.asarray(jax.jit(lambda p, kw: model.apply(p, **kw))(
+        sharded_qp, sharded_inputs))
+    np.testing.assert_allclose(out, ref, atol=2e-4)

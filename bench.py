@@ -899,6 +899,35 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
     t_compose = _time.perf_counter() - t0
 
     total = t_invert + t_compose
+    # honest per-stage flops (jaxpr walker: scan x trips, pallas x grid);
+    # chunks share one compiled program, so walk one chunk and multiply
+    mfu = {}
+    if not virtual:
+        try:
+            n_inv_programs = invert_steps // chunk
+            if batch or mesh_inv is not None:
+                inv_flops = cost_flops(
+                    invert_fn, params_inv, x0, condJ,
+                    jnp.asarray(inv_ts_np[:chunk])) * n_inv_programs
+            else:
+                inv_flops = cost_flops(
+                    invert_fn, params, x0, cond1,
+                    jnp.asarray(inv_ts_np[:chunk])) * n_inv_programs * (n_obj + 1)
+            comp_flops = cost_flops(
+                compose_fn, params_comp, xT, condN,
+                sched_slice(0, c_chunk)) * (S // c_chunk)
+            peak = peak_tflops_per_sec()
+            mfu = {
+                "invert_tflops": round(inv_flops / 1e12, 1),
+                "compose_tflops": round(comp_flops / 1e12, 1),
+                "invert_tflops_per_sec": round(inv_flops / t_invert / 1e12, 2),
+                "compose_tflops_per_sec": round(comp_flops / t_compose / 1e12, 2),
+            }
+            if peak:
+                mfu["invert_mfu"] = round(inv_flops / t_invert / peak, 4)
+                mfu["compose_mfu"] = round(comp_flops / t_compose / peak, 4)
+        except Exception:
+            pass
     shape_tag = ("tiny_virtual" if virtual
                  else f"{n_frames}f_720p" if (height_lat, width_lat) == (90, 160)
                  else f"{n_frames}f_512px")
@@ -921,7 +950,8 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         "breakdown": {"invert_s": round(t_invert, 2),
                       "compose_s": round(t_compose, 2),
                       "virtual_cpu_mesh": virtual,
-                      "mesh": dict(mesh_comp.shape) if mesh_comp else None},
+                      "mesh": dict(mesh_comp.shape) if mesh_comp else None,
+                      **mfu},
     }))
 
 

@@ -158,21 +158,78 @@ def tconv3_stack3(x5: jax.Array, w: jax.Array, *,
 # ---------------------------------------------------------------------------
 # Dispatch
 
-# Form per channel tier, decided by scripts/conv_probe.py on hardware.
-# "xla" = stock lax.conv (the nn.Conv path).  MVOC_CONV_IMPL overrides all
-# tiers at once for A/B runs: xla | stack9 | wcat3 | im2col9.
 _FORMS = {"stack9": conv3x3_stack9, "wcat3": conv3x3_wcat3,
           "im2col9": conv3x3_im2col9}
 
+# Probed winners (scripts/conv_probe.py sets 1-4, on-chip, scan-amortized
+# difference timing — ROUND_NOTES r4).  Spatial 3x3: XLA's emitter won every
+# probed workload geometry (140-221 TF/s isolated; the r4 trace's low
+# per-fusion rates were epilogue dilution).  The one exception,
+# [16,16,16,1280] (wcat3 1.13x), is geometry-exact — the same tier loses at
+# 8x8 (0.72x), at 720p 23x40 (0.95x), and at the B=2 edit batch (0.79x) —
+# and is worth ~0.15% of a step, so it is NOT dispatched; the table stays
+# empty (keyed (c_in, h, w)) for future probed entries.  Temporal (3,1,1):
+# stack3's win tracks the GEMM row count M = B*F*H*W, not the channel tier
+# (M=1024: 25.4x; 2048: 2.81x; 4096: 1.86x; >=8192: losing as often as
+# winning, worst 0.43x) — XLA's 3D conv emitter tiles tiny-M convs onto the
+# MXU catastrophically badly, and the dot form caps out near roofline
+# (392 TF/s at M=1024).  The M<=4096 rule measured +1.8% on the default
+# composite step (0.8526 -> 0.8683, TPU_RUNS_r04.log conv_auto_default).
+# MVOC_CONV_IMPL overrides every spatial 3x3 at once (xla | auto | stack9 |
+# wcat3 | im2col9); MVOC_TCONV_IMPL the temporal conv (xla | auto | stack3).
+SPATIAL_WINNERS: dict = {}
+TCONV_STACK3_MAX_ROWS = 2048
 
-def spatial_form(c_in: int):
-    """The probed-winner 3x3 form for this input-channel tier (None = xla)."""
-    impl = os.environ.get("MVOC_CONV_IMPL", "xla")
-    if impl == "xla":
+
+def spatial_form(c_in: int, h: int, w: int):
+    """The 3x3 form to use for this probed geometry (None = lax.conv)."""
+    impl = os.environ.get("MVOC_CONV_IMPL", "auto")
+    if impl == "auto":
+        impl = SPATIAL_WINNERS.get((c_in, h, w))
+    if impl in (None, "xla"):
         return None
     return _FORMS.get(impl)
 
 
-def temporal_form():
-    impl = os.environ.get("MVOC_TCONV_IMPL", "xla")
+def temporal_form(n_rows: int):
+    """stack3 for small-row temporal convs (probed rule), else lax.conv."""
+    impl = os.environ.get("MVOC_TCONV_IMPL", "auto")
+    if impl == "auto":
+        impl = "stack3" if n_rows <= TCONV_STACK3_MAX_ROWS else None
     return tconv3_stack3 if impl == "stack3" else None
+
+
+def maybe_matmul_conv(x: jax.Array, kernel: jax.Array, *,
+                      strides, padding, out_dtype) -> Optional[jax.Array]:
+    """Route an exact conv to its probed matmul form, or None for lax.conv.
+
+    Covers the two hot patterns only: 2D 3x3 stride-1 pad-(1,1) on
+    [N,H,W,C], and 3D (3,1,1) stride-1 pad-((1,1),0,0) on [B,F,H,W,C].
+    Everything else (1x1 shortcuts, strided downsample, VAE shapes)
+    returns None and stays on the stock nn.Conv path.
+    """
+    nd = kernel.ndim - 2
+    if nd == 2:
+        if (kernel.shape[0], kernel.shape[1]) != (3, 3):
+            return None
+        if tuple(strides) != (1, 1) or tuple(padding) != ((1, 1), (1, 1)):
+            return None
+        form = spatial_form(int(kernel.shape[2]), int(x.shape[1]),
+                            int(x.shape[2]))
+        if form is None:
+            return None
+        return form(x, kernel, out_dtype=out_dtype)
+    if nd == 3:
+        if tuple(kernel.shape[:3]) != (3, 1, 1):
+            return None
+        if (tuple(strides) != (1, 1, 1)
+                or tuple(padding) != ((1, 1), (0, 0), (0, 0))):
+            return None
+        n_rows = 1
+        for d in x.shape[:-1]:
+            n_rows *= int(d)
+        form = temporal_form(n_rows)
+        if form is None:
+            return None
+        return form(x, kernel, out_dtype=out_dtype)
+    return None

@@ -163,23 +163,52 @@ def int8_matmul(
 
 
 class QuantConv(nn.Conv):
-    """nn.Conv that runs w8a8 when its kernel was pre-quantized."""
+    """nn.Conv with two fast-path dispatches on the bound kernel leaf:
+
+    * `QuantizedTensor` kernel -> w8a8 int8 conv (approximate mode);
+    * plain kernel on a hot shape -> probed matmul-form conv
+      (ops.conv.maybe_matmul_conv; EXACT — same f32 MXU accumulation,
+      only tap-summation order differs from XLA's conv emitter).
+
+    Everything else (init time, 1x1/strided kernels, unprobed tiers)
+    delegates to stock nn.Conv.
+    """
+
+    def _geometry(self, nd: int):
+        from flax.linen.linear import canonicalize_padding
+
+        strides = self.strides or 1
+        if isinstance(strides, int):
+            strides = (strides,) * nd
+        return tuple(strides), canonicalize_padding(self.padding, nd)
 
     @nn.compact
     def __call__(self, inputs: jax.Array) -> jax.Array:
         kernel = self.get_variable("params", "kernel")
-        if not isinstance(kernel, QuantizedTensor):
+        if kernel is None:  # init: let nn.Conv create the params
             return super().__call__(inputs)
 
-        from flax.linen.linear import canonicalize_padding
+        if isinstance(kernel, QuantizedTensor):
+            strides, padding = self._geometry(kernel.data.ndim - 2)
+            y = int8_conv(inputs, kernel, strides=strides, padding=padding,
+                          out_dtype=self.dtype or jnp.float32)
+        else:
+            from mvoc_tpu.ops import conv as conv_forms
 
-        nd = kernel.data.ndim - 2
-        strides = self.strides or 1
-        if isinstance(strides, int):
-            strides = (strides,) * nd
-        padding = canonicalize_padding(self.padding, nd)
-        y = int8_conv(inputs, kernel, strides=tuple(strides), padding=padding,
-                      out_dtype=self.dtype or jnp.float32)
+            strides, padding = self._geometry(kernel.ndim - 2)
+            def _dil(d):  # None / 1 / all-ones sequence = no dilation
+                return d is None or d == 1 or (
+                    not isinstance(d, int) and all(x == 1 for x in d))
+
+            y = None
+            if (not isinstance(padding, str) and self.feature_group_count == 1
+                    and _dil(self.input_dilation) and _dil(self.kernel_dilation)):
+                y = conv_forms.maybe_matmul_conv(
+                    inputs, kernel, strides=strides,
+                    padding=tuple(map(tuple, padding)),
+                    out_dtype=self.dtype or jnp.float32)
+            if y is None:
+                return super().__call__(inputs)
         if self.use_bias:
             bias = self.get_variable("params", "bias")
             y = y + bias.astype(y.dtype)

@@ -73,6 +73,57 @@ def test_tconv3_matches_lax():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_quantconv_dispatches_temporal_stack3(monkeypatch):
+    """QuantConv routes small-row (3,1,1) convs to stack3 and matches nn.Conv."""
+    from flax import linen as nn
+    from mvoc_tpu.ops.quantize import QuantConv
+
+    monkeypatch.delenv("MVOC_TCONV_IMPL", raising=False)
+    rng = np.random.default_rng(3)
+    x5 = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 16)), jnp.float32)
+    kw = dict(features=16, kernel_size=(3, 1, 1),
+              padding=((1, 1), (0, 0), (0, 0)), dtype=jnp.float32)
+    qc = QuantConv(**kw)
+    params = qc.init(jax.random.PRNGKey(0), x5)
+    got = qc.apply(params, x5)
+    ref = nn.Conv(**kw).apply(params, x5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # the dispatch really took the matmul form: its jaxpr has no conv primitive
+    jxp = str(jax.make_jaxpr(lambda p, x: qc.apply(p, x))(params, x5))
+    assert "conv_general_dilated" not in jxp
+    # a large-row call stays on lax.conv (M > TCONV_STACK3_MAX_ROWS)
+    xbig = jnp.asarray(rng.standard_normal((2, 16, 16, 16, 16)), jnp.float32)
+    jxp_big = str(jax.make_jaxpr(lambda p, x: qc.apply(p, x))(params, xbig))
+    assert "conv_general_dilated" in jxp_big
+
+
+def test_quantconv_spatial_winner_table(monkeypatch):
+    """A SPATIAL_WINNERS entry routes that tier through the matmul form."""
+    from flax import linen as nn
+    from mvoc_tpu.ops.quantize import QuantConv
+
+    monkeypatch.delenv("MVOC_CONV_IMPL", raising=False)
+    monkeypatch.setitem(C.SPATIAL_WINNERS, (16, 8, 8), "wcat3")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+    kw = dict(features=24, kernel_size=(3, 3), padding=1, dtype=jnp.float32)
+    qc = QuantConv(**kw)
+    params = qc.init(jax.random.PRNGKey(0), x)
+    got = qc.apply(params, x)
+    ref = nn.Conv(**kw).apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    jxp = str(jax.make_jaxpr(lambda p, x: qc.apply(p, x))(params, x))
+    assert "conv_general_dilated" not in jxp
+    # strided / other-tier convs stay on lax.conv
+    qs = QuantConv(features=24, kernel_size=(3, 3), strides=(2, 2),
+                   padding=1, dtype=jnp.float32)
+    ps = qs.init(jax.random.PRNGKey(0), x)
+    jxp_s = str(jax.make_jaxpr(lambda p, x: qs.apply(p, x))(ps, x))
+    assert "conv_general_dilated" in jxp_s
+
+
 def test_tconv3_frame_boundaries_zero_padded():
     # single nonzero frame: its tap-0/tap-2 contributions land exactly one
     # frame later/earlier and nowhere else (catches shift-direction bugs)

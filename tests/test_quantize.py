@@ -120,12 +120,16 @@ def test_quantize_params_hits_only_kernels():
     ((3, 3), dict(strides=(2, 2), padding=1)),                  # downsample
     ((3, 1, 1), dict(padding=((1, 1), (0, 0), (0, 0)))),        # temporal
 ])
-def test_quantconv_exact_path_bitwise(kshape, kw):
-    """Plain-array kernels must go through the STOCK nn.Conv computation —
-    bitwise — so swapping nn.Conv -> QuantConv in the model changes nothing
-    until quantize_params is applied."""
+def test_quantconv_exact_path_bitwise(kshape, kw, monkeypatch):
+    """With the matmul-form dispatch off, plain-array kernels go through the
+    STOCK nn.Conv computation — bitwise — so swapping nn.Conv -> QuantConv
+    in the model changes nothing until quantize_params is applied.  (With
+    dispatch on, hot shapes route to the exact matmul forms instead —
+    allclose-parity + jaxpr-dispatch pinned in tests/test_conv_forms.py.)"""
     from flax import linen as nn
 
+    monkeypatch.setenv("MVOC_CONV_IMPL", "xla")
+    monkeypatch.setenv("MVOC_TCONV_IMPL", "xla")
     rng = np.random.default_rng(0)
     nd = len(kshape)
     x = jnp.asarray(rng.standard_normal((2, *([8] * nd), 6)), jnp.bfloat16)

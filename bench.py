@@ -9,12 +9,18 @@ Primary metric (BASELINE.json): UNet denoise steps/sec/chip at 16 frames @
 DDIM step included (i.e. one full iteration of the composite loop,
 reference: pipeline_i2vgen_xl.py:1635-1734).
 
-vs_baseline: the reference publishes NO numbers (BASELINE.md); the baseline
-constant below is an estimate of the reference's fp16 batch-5 UNet step
-rate at this shape on its single-GPU setup, derived from the model's ~5.6
-TFLOP/step at 16f@512px against A100 fp16 utilization typical for diffusers
-eager UNets (~30%). Marked as an estimate; the honest cross-check is the
-end-to-end <60 s north star tracked separately.
+vs_baseline: the reference publishes NO numbers (BASELINE.md), so the
+baseline constant below is an ESTIMATE — every record carrying it also
+carries "vs_baseline_basis" naming it one.  Derivation (docs/VS_BASELINE.md
+has the full arithmetic): the composite step runs the same 5
+branch-forwards in both frameworks (reference batch-5 cat,
+pipeline_i2vgen_xl.py:1675-1677), so the reference's fp16 flops/step at
+16f@512px equals our jaxpr-walked 105.65 TF/step; against A100-80GB fp16
+dense peak (312 TF/s) at the 10-25% MFU band realistic for an eager
+diffusers video UNet (tiny temporal-attention GEMMs, unfused elementwise,
+python injection hooks, per-step disk loads) that brackets the reference
+at 0.30-0.74 steps/s.  0.55 is the ~19% MFU midpoint.  The honest
+cross-check is the end-to-end <60 s north star tracked separately.
 
 Presets:
   --preset smoke   tiny config, 2 steps  (CI / CPU)
@@ -31,7 +37,10 @@ import time
 
 import numpy as np
 
-REFERENCE_STEPS_PER_SEC_ESTIMATE = 0.55  # est. reference fp16 A100, batch-5 @16f/512px
+# Estimated reference rate, fp16 A100 batch-5 @16f/512px: 105.65 TF/step
+# (same 5 branch-forwards as our stream step) / (312 TF/s x ~19% MFU).
+# Bounded range 0.30-0.74 at 10-25% MFU — derivation in docs/VS_BASELINE.md.
+REFERENCE_STEPS_PER_SEC_ESTIMATE = 0.55
 
 
 def probe_backend(attempts: int = 3, probe_timeout: int = 90,
@@ -141,6 +150,10 @@ def emit(rec, anomaly) -> None:
     a structured {"error": "invalid_timing"} instead of a bogus number."""
     if METRIC_SUFFIX and "metric" in rec:
         rec["metric"] = rec["metric"] + METRIC_SUFFIX
+    if rec.get("vs_baseline") is not None:
+        # the reference publishes no numbers; the denominator is a derived
+        # estimate (module docstring + docs/VS_BASELINE.md) — say so in-band
+        rec["vs_baseline_basis"] = "estimate: ref A100 fp16 @ ~19% MFU (docs/VS_BASELINE.md)"
     if anomaly:
         rec["async_anomaly"] = anomaly  # True, or "invalid"
     if anomaly == "invalid" or rec.get("mfu", 0.0) > 1.0:

@@ -152,7 +152,8 @@ def run_entry(pipe, config) -> None:
     recon = config.get("recon_config")
     recon_on = recon is not None and recon.get("enable_recon", False)
     if (inv.get("deep_reuse", False)
-            or inv.get("encoder_reuse_interval", 1) > 1) and not recon_on:
+            or inv.get("encoder_reuse_interval", 1) > 1) and not recon_on \
+            and not inv.get("reuse_auto_report"):
         # deep_reuse / encoder reuse APPROXIMATE the inverted trajectory that
         # every downstream stage consumes — quantified drift bounds exist only
         # at tiny scale (utils/quality.approx_quality_report); nudge the user
@@ -220,6 +221,18 @@ def main() -> None:
         config.video_frames_path = os.path.join(config.video_dir, config.video_name)
         common.check_replaceme(config)
         configs.append(config)
+
+    from mvoc_tpu.utils.autoreuse import resolve_auto_reuse
+
+    for config in configs:
+        # `encoder_reuse_interval: auto` — probe this entry's own video and
+        # pick the largest k clearing the recon-PSNR bar (utils/autoreuse);
+        # cached entries skip the probe (their trajectory already exists)
+        if (config.inverse_config.get("encoder_reuse_interval", 1) == "auto"
+                and not _has_valid_cache(config)):
+            with_name = config.get("video_name", "?")
+            logger.info("resolving auto reuse interval for %s", with_name)
+            resolve_auto_reuse(pipe, config)
 
     timer = StepTimer()
     with trace(args.profile_dir):

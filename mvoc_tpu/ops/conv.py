@@ -24,8 +24,10 @@ Reference counterpart: torch/cuDNN picks conv algorithms per shape
 (/root/reference/i2vgen-xl/pipelines/pipeline_i2vgen_xl.py uses stock
 diffusers blocks); on TPU the analogous algorithm choice is ours to make.
 
-Forms (probed on-chip by scripts/conv_probe.py; the winner per channel
-tier is dispatched from ops.quantize.QuantConv):
+Forms (probed on-chip by scripts/conv_probe.py; dispatched from
+ops.quantize.QuantConv — spatial 3x3 by exact geometry via the
+SPATIAL_WINNERS (c_in, h, w) table, temporal (3,1,1) by GEMM row count
+M = B*F*H*W via TCONV_STACK3_MAX_ROWS):
 
   conv3x3_stack9   one dot, K=C_in, N=9*C_out, 9-window output epilogue
   conv3x3_wcat3    width-concat K=3*C_in, 3 dots, H-shift output epilogue
@@ -191,11 +193,16 @@ def spatial_form(c_in: int, h: int, w: int):
     return _FORMS.get(impl)
 
 
+def _tconv_max_rows() -> int:
+    """The dispatch threshold; MVOC_TCONV_ROWS overrides for on-chip A/Bs."""
+    return int(os.environ.get("MVOC_TCONV_ROWS", TCONV_STACK3_MAX_ROWS))
+
+
 def temporal_form(n_rows: int):
     """stack3 for small-row temporal convs (probed rule), else lax.conv."""
     impl = os.environ.get("MVOC_TCONV_IMPL", "auto")
     if impl == "auto":
-        impl = "stack3" if n_rows <= TCONV_STACK3_MAX_ROWS else None
+        impl = "stack3" if n_rows <= _tconv_max_rows() else None
     return tconv3_stack3 if impl == "stack3" else None
 
 

@@ -202,6 +202,7 @@ class QuantConv(nn.Conv):
 
             y = None
             if (not isinstance(padding, str) and self.feature_group_count == 1
+                    and self.mask is None
                     and _dil(self.input_dilation) and _dil(self.kernel_dilation)):
                 y = conv_forms.maybe_matmul_conv(
                     inputs, kernel, strides=strides,

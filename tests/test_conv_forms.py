@@ -98,6 +98,24 @@ def test_quantconv_dispatches_temporal_stack3(monkeypatch):
     assert "conv_general_dilated" in jxp_big
 
 
+def test_temporal_dispatch_boundary(monkeypatch):
+    """The rule is pinned to TCONV_STACK3_MAX_ROWS itself, not a copy of it.
+
+    Probes M == threshold (dispatches) and M == threshold + 1 / 2x (does
+    not), so a code/doc threshold mismatch or silent change moves this test.
+    """
+    monkeypatch.delenv("MVOC_TCONV_IMPL", raising=False)
+    monkeypatch.delenv("MVOC_TCONV_ROWS", raising=False)
+    thr = C.TCONV_STACK3_MAX_ROWS
+    assert C.temporal_form(thr) is C.tconv3_stack3
+    assert C.temporal_form(thr + 1) is None
+    assert C.temporal_form(2 * thr) is None
+    # the env override used by on-chip A/Bs rebinds the threshold
+    monkeypatch.setenv("MVOC_TCONV_ROWS", str(2 * thr))
+    assert C.temporal_form(2 * thr) is C.tconv3_stack3
+    assert C.temporal_form(2 * thr + 1) is None
+
+
 def test_quantconv_spatial_winner_table(monkeypatch):
     """A SPATIAL_WINNERS entry routes that tier through the matmul form."""
     from flax import linen as nn

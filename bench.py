@@ -626,7 +626,8 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             reuse_depth=None, reuse_deep: bool = False,
             capture_reuse: int = 1, capture_reuse_deep: bool = False,
             inv_reuse: int = 0, inv_reuse_deep: bool = False,
-            int8: bool = False):
+            int8: bool = False, temporal_window=None,
+            stream_traj: bool = False):
     """End-to-end MVOC workflow wall-clock: DDIM-invert the background +
     2 object videos (500 steps each, cfg=1, like the reference's stage 1 —
     reference: group_inversion/template.yaml:30-34) then run the 50-step
@@ -681,8 +682,19 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         # inversion grid (spacing 25), like 50-vs-500 at full scale
         invert_steps, compose_steps = 40, 8
         dtype = jnp.float32
+    elif os.environ.get("MVOC_E2E_TINY"):
+        # CI smoke of the e2e code paths (incl. --frames 64 trajectory
+        # streaming) at tiny scale — NOT a performance configuration
+        import dataclasses as _dc
+
+        cfg = _dc.replace(UNetConfig.tiny(), temporal_natural_layout=natural,
+                          temporal_window=4 if temporal_window else None)
+        F, H, W = 8, 8, 8
+        invert_steps, compose_steps = 40, 8
+        dtype = jnp.float32
     else:
-        cfg = UNetConfig(temporal_natural_layout=natural)
+        cfg = UNetConfig(temporal_natural_layout=natural,
+                         temporal_window=temporal_window)
         F, H, W = n_frames, height_lat, width_lat
         dtype = jnp.bfloat16
     n_obj = 2
@@ -754,6 +766,10 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
     # combined configuration the north star wants measured.
     inv_k = inv_reuse if inv_reuse else reuse
     inv_deep = inv_reuse_deep if inv_reuse else reuse_deep
+    traj_info = {}
+    if stream_traj:
+        assert not (batch or mesh_inv is not None), (
+            "--frames 64 trajectory streaming uses the serial inversion path")
     reuse_kw = {}
     if inv_k > 1:
         reuse_kw = dict(encoder_reuse_interval=int(inv_k),
@@ -798,8 +814,9 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         t_invert = _time.perf_counter() - t0
         trajs = [traj_all[:, j] for j in range(n_obj + 1)]
     else:
-        chunk = 50
-        assert invert_steps % chunk == 0
+        chunk = min(50, invert_steps)
+        while invert_steps % chunk != 0:
+            chunk -= 1
         invert_fn = jax.jit(lambda p, x0, c, ts: core.ddim_inversion_core(
             apply, ddim, p, x0, c, ts, invert_steps, 1.0, **reuse_kw))
         cond1 = cond_for(1)
@@ -816,28 +833,67 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
                 seg = invert_fn(params, cur, cond1,
                                 jnp.asarray(inv_ts_np[s : s + chunk]))
                 cur = seg[-1]
-                parts.append(seg)
-            return jnp.concatenate(parts, axis=0)
+                # streamed mode: each chunk leaves HBM as soon as it is
+                # produced — device memory holds ONE chunk of trajectory
+                # instead of [steps, F, H, W, 4] (2.1 GB/video fp32 at 64f)
+                parts.append(np.asarray(seg) if stream_traj else seg)
+            if not stream_traj:
+                return jnp.concatenate(parts, axis=0)
+            return np.concatenate(parts, axis=0)
 
         t0 = _time.perf_counter()
         trajs = []
-        for j in range(n_obj + 1):
-            x0_j = mk(F, H, W, 4).astype(jnp.float32)
-            trajs.append(invert_video(x0_j))
-        jax.block_until_ready(trajs)
-        t_invert = _time.perf_counter() - t0
+        if stream_traj:
+            # the production contract (C9): trajectories round-trip
+            # through the TrajectoryStore (C++ mmap codec, fp16, threaded)
+            # and stage 2 random-access-gathers only the steps it needs
+            import tempfile
+
+            from mvoc_tpu.io.trajectory import TrajectoryStore
+
+            traj_dir = tempfile.mkdtemp(prefix="mvoc_bench_traj_")
+            stores = []
+            for j in range(n_obj + 1):
+                x0_j = mk(F, H, W, 4).astype(jnp.float32)
+                traj_host = invert_video(x0_j)
+                store = TrajectoryStore(os.path.join(traj_dir, f"v{j}"))
+                written = store.save(inv_ts_np, traj_host)
+                stores.append(store)
+                traj_info = {
+                    "traj_bytes_per_video": os.path.getsize(written),
+                    "traj_backend": os.path.splitext(written)[1].lstrip("."),
+                }
+            t_invert = _time.perf_counter() - t0
+            trajs = stores  # stage 2 gathers from the stores
+        else:
+            for j in range(n_obj + 1):
+                x0_j = mk(F, H, W, 4).astype(jnp.float32)
+                trajs.append(invert_video(x0_j))
+            jax.block_until_ready(trajs)
+            t_invert = _time.perf_counter() - t0
 
     # --- stage 2: 50-step composite -------------------------------------
     full_ts = sampling_timesteps(SchedulerConfig(), compose_steps)
     run_ts = np.asarray(full_ts[1:])  # ddim_init_latents_t_idx = 1
     S = len(run_ts)
-    # trajectory entries at the run timesteps (ascending store -> index map)
-    inv_np = [np.asarray(t_) for t_ in trajs]
-    idx_of = {int(t_): i for i, t_ in enumerate(inv_ts_np)}
-    sel = [idx_of[int(t_)] for t_ in run_ts if int(t_) in idx_of]
-    assert len(sel) == S, "compose timesteps must be a subset of inversion's"
-    bg_traj = inv_np[0][sel]
-    obj_traj = np.stack([inv_np[1][sel], inv_np[2][sel]], axis=1)
+    if stream_traj:
+        # random-access gather of ONLY the composite's timesteps from the
+        # on-disk stores (native/traj_codec.cpp random-access step reads)
+        gathered = [st.gather([int(t_) for t_ in run_ts]) for st in trajs]
+        bg_traj = gathered[0]
+        obj_traj = np.stack([gathered[1], gathered[2]], axis=1)
+        import shutil as _sh
+
+        _sh.rmtree(os.path.dirname(trajs[0].path), ignore_errors=True)
+    else:
+        # trajectory entries at the run timesteps (ascending store -> index
+        # map), all HBM-resident
+        inv_np = [np.asarray(t_) for t_ in trajs]
+        idx_of = {int(t_): i for i, t_ in enumerate(inv_ts_np)}
+        sel = [idx_of[int(t_)] for t_ in run_ts if int(t_) in idx_of]
+        assert len(sel) == S, "compose timesteps must be a subset of inversion's"
+        bg_traj = inv_np[0][sel]
+        obj_traj = np.stack([inv_np[1][sel], inv_np[2][sel]], axis=1)
     masks = np.zeros((n_obj, F, H, W), np.float32)
     masks[0, :, : H // 2] = 1.0
     masks[1, :, :, : W // 2] = 1.0
@@ -944,6 +1000,10 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
     shape_tag = ("tiny_virtual" if virtual
                  else f"{n_frames}f_720p" if (height_lat, width_lat) == (90, 160)
                  else f"{n_frames}f_512px")
+    if temporal_window and not virtual:
+        shape_tag += f"_window{temporal_window}"
+    if os.environ.get("MVOC_E2E_TINY") and not virtual:
+        shape_tag = "tinysmoke_" + shape_tag
     print(json.dumps({
         "metric": "e2e_invert3x%d_compose%d_%s_wall_seconds"
         % (invert_steps, compose_steps, shape_tag)
@@ -964,7 +1024,7 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
                       "compose_s": round(t_compose, 2),
                       "virtual_cpu_mesh": virtual,
                       "mesh": dict(mesh_comp.shape) if mesh_comp else None,
-                      **mfu},
+                      **traj_info, **mfu},
     }))
 
 
@@ -1011,6 +1071,10 @@ def main():
                     "fewer real devices exist")
     ap.add_argument("--batch", action="store_true",
                     help="(e2e) run the 3 inversions as one batched scan")
+    ap.add_argument("--frames", type=int, choices=[16, 64], default=16,
+                    help="(e2e) video length; 64 = long-video config "
+                    "(windowed temporal attention, trajectories streamed "
+                    "through the on-disk store)")
     ap.add_argument("--res", type=int, choices=[512, 720], default=512,
                     help="(e2e) pixel resolution: 512 -> 64x64 latents, "
                     "720 -> the reference's 90x160 (1280x720)")
@@ -1103,8 +1167,14 @@ def main():
         if not args.two_pass and not os.environ.get("MVOC_BENCH_STANDARD"):
             args.natural = True
         hl, wl = (90, 160) if args.res == 720 else (64, 64)
+        # 64-frame long video (BASELINE configs[3]): windowed temporal
+        # attention + trajectories streamed through the on-disk store
+        # (HBM holds one scan chunk, not [500, 64, h, w, 4])
+        long_video = args.frames == 64
         run_e2e(natural=args.natural, stream=not args.two_pass,
-                height_lat=hl, width_lat=wl,
+                height_lat=hl, width_lat=wl, n_frames=args.frames,
+                temporal_window=16 if long_video else None,
+                stream_traj=long_video,
                 mesh_devices=args.mesh, batch=args.batch, reuse=args.reuse,
                 reuse_depth=args.reuse_depth, reuse_deep=args.reuse_deep,
                 capture_reuse=args.capture_reuse,

@@ -100,6 +100,15 @@ class UNetConfig:
     # Pallas attention kernels then dispatch inside shard_map over this mesh
     # (ops/attention.sharded_*) instead of falling back to XLA attention.
     attn_mesh: Optional[Any] = None
+    # PnP injection placement (pnp.SiteMap); None = the reference's
+    # I2VGen-XL map (pnp.I2VGEN_SITES).  A different backbone supplies its
+    # own map here — the capture/consume machinery is placement-agnostic
+    # (docs/BACKBONE_PNP.md).
+    site_map: Optional[Any] = None
+
+    @property
+    def sites(self):
+        return self.site_map if self.site_map is not None else pnp_lib.I2VGEN_SITES
 
     @property
     def time_embed_dim(self) -> int:
@@ -485,13 +494,15 @@ class UpBlock3D(nn.Module):
     norm_num_groups: int
     norm_eps: float
     block_index: int = 0  # position in up_blocks, for PnP site lookup
+    site_map: Optional[Any] = None  # pnp.SiteMap; None = I2VGEN_SITES
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, res_samples, temb, num_frames, upsample_size=None, pnp=None,
                  freeu=None, capture=None):
-        resnet_sites = pnp_lib.RESNET_SITES.get(self.block_index, ())
-        tconv_sites = pnp_lib.TEMP_CONV_SITES.get(self.block_index, ())
+        sites = self.site_map if self.site_map is not None else pnp_lib.I2VGEN_SITES
+        resnet_sites = sites.resnet_at(self.block_index)
+        tconv_sites = sites.temp_conv_at(self.block_index)
         for i in range(self.num_layers):
             x, skip = apply_freeu(self.block_index, x, res_samples[-1 - i], freeu)
             x = jnp.concatenate([x, skip], axis=-1)
@@ -528,16 +539,18 @@ class CrossAttnUpBlock3D(nn.Module):
     temporal_natural_layout: bool = False
     temporal_cp: Optional[Any] = None
     attn_mesh: Optional[Any] = None
+    site_map: Optional[Any] = None  # pnp.SiteMap; None = I2VGEN_SITES
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, res_samples, temb, context, num_frames, upsample_size=None,
                  pnp=None, freeu=None, capture=None, pab_cache=None, pab_rec=None):
         pab_on = pab_cache is not None or pab_rec is not None
-        spatial_sites = pnp_lib.SPATIAL_ATTN_SITES.get(self.block_index, ())
-        temporal_sites = pnp_lib.TEMPORAL_ATTN_SITES.get(self.block_index, ())
-        resnet_sites = pnp_lib.RESNET_SITES.get(self.block_index, ())
-        tconv_sites = pnp_lib.TEMP_CONV_SITES.get(self.block_index, ())
+        sites = self.site_map if self.site_map is not None else pnp_lib.I2VGEN_SITES
+        spatial_sites = sites.spatial_at(self.block_index)
+        temporal_sites = sites.temporal_at(self.block_index)
+        resnet_sites = sites.resnet_at(self.block_index)
+        tconv_sites = sites.temp_conv_at(self.block_index)
         for i in range(self.num_layers):
             x, skip = apply_freeu(self.block_index, x, res_samples[-1 - i], freeu)
             x = jnp.concatenate([x, skip], axis=-1)
@@ -842,7 +855,8 @@ class I2VGenXLUNet(nn.Module):
                 x = UpBlock3D(
                     out_channels=out_ch, num_layers=n_up_layers, add_upsample=not is_final,
                     norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
-                    block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
+                    block_index=i, site_map=cfg.site_map,
+                    dtype=self.dtype, name=f"up_blocks_{i}",
                 )(x, res, emb, f, upsample_size, pnp, freeu, capture)
             else:  # CrossAttnUpBlock3D
                 x = CrossAttnUpBlock3D(
@@ -853,7 +867,8 @@ class I2VGenXLUNet(nn.Module):
                     temporal_window=cfg.temporal_window, ff_chunk_rows=cfg.ff_chunk_rows,
                     temporal_natural_layout=cfg.temporal_natural_layout,
                     temporal_cp=cfg.temporal_cp, attn_mesh=cfg.attn_mesh,
-                    block_index=i, dtype=self.dtype, name=f"up_blocks_{i}",
+                    block_index=i, site_map=cfg.site_map,
+                    dtype=self.dtype, name=f"up_blocks_{i}",
                 )(x, res, emb, context, f, upsample_size, pnp, freeu, capture,
                   pab_cache=pab_cache, pab_rec=pab_rec)
 
@@ -861,7 +876,9 @@ class I2VGenXLUNet(nn.Module):
         x = GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         x = QuantConv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
-        if capture is not None:
+        if not cfg.sites.out_conv:
+            pass  # this backbone's site map has no out-conv injection site
+        elif capture is not None:
             if pnp is not None and pnp.capture_weight is not None:
                 capture["out_conv"] = pnp_lib.stream_capture_conv(
                     x, pnp, x.shape[1], x.shape[2])

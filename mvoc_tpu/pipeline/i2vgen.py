@@ -1035,12 +1035,23 @@ class I2VGenXLPipeline:
             p, **kw, freeu=self.freeu, encoder_reuse_depth=d_)
 
     def _injection_resolutions(self, h_lat: int, w_lat: int) -> list[tuple[int, int]]:
-        """Spatial sizes at which injection sites run: up_blocks[1] at 1/4,
-        up_blocks[2] at 1/2, up_blocks[3] + out_conv at full latent res.
-        Downsampling uses stride-2 conv floor((x+1)/2) ... -> ceil(x/2)."""
-        up = lambda x: (x + 1) // 2
-        res = [(h_lat, w_lat)]
-        h2, w2 = up(h_lat), up(w_lat)
-        res.append((h2, w2))
-        res.append((up(h2), up(w2)))
-        return res
+        """Spatial sizes at which injection sites run, derived from the
+        UNet's site map: up_blocks[b] of an L-level UNet runs at the latent
+        resolution ceil-halved (L-1-b) times (stride-2 conv downsampling,
+        ceil(x/2) per level); out_conv runs at full latent resolution.
+        For the default I2VGen-XL map: 1/4, 1/2 and full latent res."""
+        cfg = self.unet.config
+        sites = cfg.sites
+        n_levels = len(cfg.block_out_channels)
+
+        def block_res(b: int) -> tuple[int, int]:
+            h, w = h_lat, w_lat
+            for _ in range(n_levels - 1 - b):
+                h, w = (h + 1) // 2, (w + 1) // 2
+            return (h, w)
+
+        res = {block_res(b) for b in sites.block_indices()}
+        if sites.out_conv:
+            res.add((h_lat, w_lat))
+        # full latent res first, then descending (stable order for tests)
+        return sorted(res, reverse=True)

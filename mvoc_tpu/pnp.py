@@ -46,11 +46,82 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Static description of which up_block indices / sub-layer indices inject.
-SPATIAL_ATTN_SITES = {1: (1, 2), 2: (0, 1, 2), 3: (0, 1, 2)}
-TEMPORAL_ATTN_SITES = {1: (1, 2), 2: (0, 1, 2), 3: (0, 1, 2)}
-RESNET_SITES = {3: (0, 1, 2)}
-TEMP_CONV_SITES = {3: (0, 1, 2)}
+def _freeze_sites(d) -> tuple:
+    """{block: (layers…)} -> hashable ((block, (layers…)), …) sorted form."""
+    return tuple(sorted((int(k), tuple(int(i) for i in v)) for k, v in d.items()))
+
+
+@dataclasses.dataclass(frozen=True)
+class SiteMap:
+    """Which backbone sub-layers inject — a PARAMETER of the UNet, not a
+    constant, so a different backbone (SVD, a CogVideoX-style DiT) can carry
+    its own placement under the same capture/consume machinery
+    (docs/BACKBONE_PNP.md).  Each field maps an up-block index to the
+    sub-layer indices that inject, stored in frozen ((block, (layers…)), …)
+    form so the map is hashable (UNet configs ride through jit closures).
+
+    Construct with plain dicts via :meth:`make`.
+    """
+
+    spatial_attn: tuple = ()
+    temporal_attn: tuple = ()
+    resnet: tuple = ()
+    temp_conv: tuple = ()
+    out_conv: bool = True
+
+    @staticmethod
+    def make(spatial_attn=None, temporal_attn=None, resnet=None,
+             temp_conv=None, out_conv: bool = True) -> "SiteMap":
+        return SiteMap(
+            spatial_attn=_freeze_sites(spatial_attn or {}),
+            temporal_attn=_freeze_sites(temporal_attn or {}),
+            resnet=_freeze_sites(resnet or {}),
+            temp_conv=_freeze_sites(temp_conv or {}),
+            out_conv=out_conv,
+        )
+
+    @staticmethod
+    def _at(frozen: tuple, block: int) -> tuple:
+        for b, layers in frozen:
+            if b == block:
+                return layers
+        return ()
+
+    def spatial_at(self, block: int) -> tuple:
+        return self._at(self.spatial_attn, block)
+
+    def temporal_at(self, block: int) -> tuple:
+        return self._at(self.temporal_attn, block)
+
+    def resnet_at(self, block: int) -> tuple:
+        return self._at(self.resnet, block)
+
+    def temp_conv_at(self, block: int) -> tuple:
+        return self._at(self.temp_conv, block)
+
+    def block_indices(self) -> set:
+        """All up-block indices that carry at least one injection site."""
+        return {b for field in (self.spatial_attn, self.temporal_attn,
+                                self.resnet, self.temp_conv)
+                for b, layers in field if layers}
+
+
+# The reference's placement for the I2VGen-XL UNet (reference:
+# pnp_utils.py:706-715, 889-897, 1031-1037, 1099-1105, 1156-1159) — the
+# default SiteMap when UNetConfig.site_map is None.
+I2VGEN_SITES = SiteMap.make(
+    spatial_attn={1: (1, 2), 2: (0, 1, 2), 3: (0, 1, 2)},
+    temporal_attn={1: (1, 2), 2: (0, 1, 2), 3: (0, 1, 2)},
+    resnet={3: (0, 1, 2)},
+    temp_conv={3: (0, 1, 2)},
+    out_conv=True,
+)
+
+# Back-compat dict views of the default map (pre-round-5 public names).
+SPATIAL_ATTN_SITES = dict(I2VGEN_SITES.spatial_attn)
+TEMPORAL_ATTN_SITES = dict(I2VGEN_SITES.temporal_attn)
+RESNET_SITES = dict(I2VGEN_SITES.resnet)
+TEMP_CONV_SITES = dict(I2VGEN_SITES.temp_conv)
 
 
 @jax.tree_util.register_dataclass

@@ -1,0 +1,62 @@
+"""Parity of the Pallas s8 GEMM (ops/s8gemm.py) against the XLA int8 dot.
+
+Both compute s8 x s8 -> s32 exactly (integer accumulation is exact), then
+the same f32 dequant — so parity is exact up to the final-dtype rounding.
+Runs in interpret mode on CPU (MVOC_PALLAS_INTERPRET, set here).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("MVOC_PALLAS_INTERPRET", "1")
+
+
+def _ref(xq, wq, sx, sw, out_dtype=jnp.float32):
+    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32)
+            * (sx.reshape(-1, 1) * sw.reshape(1, -1))).astype(out_dtype)
+
+
+@pytest.mark.parametrize("m,k,n,blocks", [
+    (32, 64, 48, dict(bm=16, bn=16, bk=16)),    # multi-block all axes
+    (17, 33, 9, dict(bm=16, bn=16, bk=16)),     # ragged: padding path
+    (8, 16, 8, dict()),                          # single block (clamped)
+])
+def test_s8_matmul_matches_xla_int8(m, k, n, blocks):
+    from mvoc_tpu.ops.s8gemm import s8_matmul
+
+    rng = np.random.default_rng(0)
+    xq = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    sx = jnp.asarray(rng.uniform(0.01, 0.1, (m,)), jnp.float32)
+    sw = jnp.asarray(rng.uniform(0.01, 0.1, (n,)), jnp.float32)
+    got = s8_matmul(xq, wq, sx, sw, out_dtype=jnp.float32, **blocks)
+    ref = _ref(xq, wq, sx, sw)
+    assert got.shape == (m, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
+def test_s8_matmul_quantdense_contract():
+    """End-to-end against int8_matmul (the QuantDense path): quantize a
+    real-valued activation+weight pair the production way, then both GEMMs
+    must agree exactly (same integers, same scales)."""
+    from mvoc_tpu.ops.quantize import (_quantize_activation, int8_matmul,
+                                       quantize_tensor)
+    from mvoc_tpu.ops.s8gemm import s8_matmul
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((24, 40)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((40, 56)) * 0.1, jnp.float32)
+    wq = quantize_tensor(w, channel_axes=(1,))
+    want = int8_matmul(x, wq, out_dtype=jnp.float32)
+    xq, sx = _quantize_activation(x, reduce_axes=(1,))
+    got = s8_matmul(xq, wq.data, sx[:, 0], wq.scale.reshape(-1),
+                    out_dtype=jnp.float32, bm=16, bn=16, bk=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)

@@ -518,7 +518,17 @@ def main():
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
 
-    pipe = load_pipeline(args.checkpoint_dir)
+    if args.checkpoint_dir == "tiny":
+        # playbook smoke (docs/FIRST_HOUR_WITH_WEIGHTS.md step 1 with
+        # `tiny`): no conversion happens — this exercises the pipeline
+        # build + --verify activation pass so the playbook's command
+        # surface cannot decay while real weights are absent
+        from mvoc_tpu.utils.testing import build_tiny_pipeline
+
+        print("tiny mode: random-weight pipeline (no checkpoint conversion)")
+        pipe = build_tiny_pipeline()
+    else:
+        pipe = load_pipeline(args.checkpoint_dir)
     import jax
 
     n_params = sum(int(np.prod(np.shape(x)))

@@ -137,17 +137,31 @@ def int8_matmul(
     *,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """w8a8 dense: s8 x s8 -> s32 dot_general, dequantized in the epilogue.
+    """w8a8 dense: s8 x s8 -> s32, dequantized in the epilogue.
 
     Activation scale is per row (per token): only the contraction axis
     shares a scale, so token outliers don't flatten the whole tensor's
-    quantization grid."""
+    quantization grid.  MVOC_S8_IMPL=pallas routes the GEMM through the
+    hand-tiled Pallas kernel (ops/s8gemm.py — VMEM-resident s32
+    accumulator, dequant fused into the store) instead of XLA's int8
+    dot; the default is decided by scripts/s8_gemm_probe.py."""
+    import os
+
     xq, x_scale = _quantize_activation(x, reduce_axes=(x.ndim - 1,))
+    o_scale = kernel.scale.reshape(kernel.scale.shape[-1])
+    if os.environ.get("MVOC_S8_IMPL") == "pallas":
+        from mvoc_tpu.ops.s8gemm import s8_matmul
+
+        m = 1
+        for d in x.shape[:-1]:
+            m *= int(d)
+        out = s8_matmul(xq.reshape(m, x.shape[-1]), kernel.data,
+                        x_scale.reshape(m), o_scale, out_dtype=out_dtype)
+        return out.reshape(x.shape[:-1] + (kernel.data.shape[-1],))
     acc = jax.lax.dot_general(
         xq, kernel.data,
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    o_scale = kernel.scale.reshape(kernel.scale.shape[-1])
     return (acc.astype(jnp.float32) * (x_scale * o_scale)).astype(out_dtype)
 
 

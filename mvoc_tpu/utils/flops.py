@@ -172,6 +172,71 @@ def jaxpr_matmul_flops(fn, *args, **kwargs) -> float:
     return walk(closed.jaxpr)
 
 
+def jaxpr_matmul_flops_by_class(fn, *args, **kwargs) -> dict:
+    """Like jaxpr_matmul_flops but split by op class:
+
+      conv    lax.conv_general_dilated (XLA conv emitter)
+      dot     dot_general OUTSIDE pallas kernels (FF/projections +
+              matmul-form convs, ops/conv.py)
+      pallas  dot_generals INSIDE pallas kernels x grid (the attention
+              kernels; any future pallas GEMMs land here too)
+
+    The per-class totals sum to jaxpr_matmul_flops — the roofline budget
+    (scripts/roofline_budget.py) divides each class's measured device time
+    by these to get achieved TF/s per class."""
+    import jax
+
+    spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x, (args, kwargs))
+    args, kwargs = spec
+
+    def walk(jaxpr, out, in_pallas):
+        for eqn in jaxpr.eqns:
+            prim = eqn.primitive.name
+            if prim == "dot_general":
+                out["pallas" if in_pallas else "dot"] += _eqn_dot_flops(eqn)
+            elif prim == "conv_general_dilated":
+                out["conv"] += _eqn_conv_flops(eqn)
+            elif prim == "scan":
+                inner = {"conv": 0.0, "dot": 0.0, "pallas": 0.0}
+                walk(eqn.params["jaxpr"].jaxpr, inner, in_pallas)
+                for k in out:
+                    out[k] += eqn.params["length"] * inner[k]
+            elif prim == "while":
+                walk(eqn.params["body_jaxpr"].jaxpr, out, in_pallas)
+            elif prim == "cond":
+                branches = []
+                for b in eqn.params["branches"]:
+                    inner = {"conv": 0.0, "dot": 0.0, "pallas": 0.0}
+                    walk(b.jaxpr, inner, in_pallas)
+                    branches.append(inner)
+                best = max(branches, key=lambda d: sum(d.values()))
+                for k in out:
+                    out[k] += best[k]
+            elif prim == "pallas_call":
+                inner_j = eqn.params["jaxpr"]
+                inner_j = getattr(inner_j, "jaxpr", inner_j)
+                gm = eqn.params.get("grid_mapping")
+                grid = (np.prod(gm.grid, dtype=float)
+                        if gm is not None and gm.grid else 1.0)
+                inner = {"conv": 0.0, "dot": 0.0, "pallas": 0.0}
+                walk(inner_j, inner, True)
+                for k in out:
+                    out[k] += grid * inner[k]
+            else:
+                for v in eqn.params.values():
+                    if hasattr(v, "jaxpr"):
+                        walk(getattr(v, "jaxpr"), out, in_pallas)
+                    elif hasattr(v, "eqns"):
+                        walk(v, out, in_pallas)
+
+    closed = jax.make_jaxpr(lambda *a, **k: fn(*a, **k))(*args, **kwargs)
+    out = {"conv": 0.0, "dot": 0.0, "pallas": 0.0}
+    walk(closed.jaxpr, out, False)
+    return out
+
+
 def forward_flops(fn, *args, **kwargs) -> float:
     """Total matmul-class flops (conv + dot + attention) of one call of
     `fn` — for single forwards without internal scans.

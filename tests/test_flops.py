@@ -114,6 +114,47 @@ def test_jaxpr_flops_conv_and_cond():
     assert got == 2 * 2 * 8 * 8 * 6 * (3 * 3 * 4)
 
 
+def test_jaxpr_flops_by_class_splits_and_sums():
+    """The per-class split (conv / dot / pallas) sums to the total walker,
+    with each op landing in its own class."""
+    from mvoc_tpu.ops.attention import flash_attention
+
+    x = jnp.zeros((2, 8, 8, 4))
+    w = jnp.zeros((3, 3, 4, 6))
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    wd = jnp.zeros((16, 16))
+    q = jnp.zeros((1, 2, 256, 64), jnp.float32)
+
+    def f(x, w, xa, wd, q):
+        c = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
+        d = xa @ wd
+        a = flash_attention(q, q, q, interpret=True)
+        return c.sum() + d.sum() + a.sum()
+
+    xa = jnp.zeros((4, 16))
+    by = FL.jaxpr_matmul_flops_by_class(f, x, w, xa, wd, q)
+    conv_want = 2 * 2 * 8 * 8 * 6 * (3 * 3 * 4)
+    dot_want = 2 * 4 * 16 * 16
+    pallas_want = 4 * 1 * 2 * 256 * 256 * 64
+    assert by["conv"] == conv_want
+    assert by["dot"] == dot_want
+    assert by["pallas"] == pallas_want
+    total = FL.jaxpr_matmul_flops(f, x, w, xa, wd, q)
+    assert sum(by.values()) == total
+
+
+def test_jaxpr_flops_by_class_scan_multiplies():
+    w = jnp.zeros((16, 16))
+
+    def scanned(x):
+        x, _ = jax.lax.scan(lambda c, _: (c @ w, None), x, None, length=5)
+        return x
+
+    by = FL.jaxpr_matmul_flops_by_class(scanned, jnp.zeros((4, 16)))
+    assert by == {"conv": 0.0, "dot": 5 * 2 * 4 * 16 * 16, "pallas": 0.0}
+
+
 def test_forward_flops_tiny_unet_exceeds_matmul_only():
     """On the tiny UNet the attention tally must add to the conv/dot walk
     (and the composition must be deterministic across traces)."""

@@ -43,6 +43,23 @@ def test_s8_matmul_matches_xla_int8(m, k, n, blocks):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
 
 
+def test_int8_matmul_pallas_dispatch(monkeypatch):
+    """MVOC_S8_IMPL=pallas routes int8_matmul through the kernel with
+    identical results (incl. a leading batch axis that gets flattened)."""
+    from mvoc_tpu.ops.quantize import int8_matmul, quantize_tensor
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 8, 40)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((40, 24)) * 0.1, jnp.float32)
+    wq = quantize_tensor(w, channel_axes=(1,))
+    monkeypatch.delenv("MVOC_S8_IMPL", raising=False)
+    want = int8_matmul(x, wq, out_dtype=jnp.float32)
+    monkeypatch.setenv("MVOC_S8_IMPL", "pallas")
+    got = int8_matmul(x, wq, out_dtype=jnp.float32)
+    assert got.shape == want.shape == (3, 8, 24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
 def test_s8_matmul_quantdense_contract():
     """End-to-end against int8_matmul (the QuantDense path): quantize a
     real-valued activation+weight pair the production way, then both GEMMs

@@ -766,6 +766,12 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
     # combined configuration the north star wants measured.
     inv_k = inv_reuse if inv_reuse else reuse
     inv_deep = inv_reuse_deep if inv_reuse else reuse_deep
+    # stage-keyed temporal-conv rule: inversion programs trace on the XLA
+    # conv emitter (measured faster there — ops/conv.tconv_override doc);
+    # the composite below traces under the default stack3 dispatch.  The
+    # override matters at TRACE time, i.e. the warmup calls below.
+    from mvoc_tpu.ops import conv as _conv_forms
+
     traj_info = {}
     if stream_traj:
         assert not (batch or mesh_inv is not None), (
@@ -800,8 +806,9 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         x0 = mk(J, F, H, W, 4).astype(jnp.float32)
         if mesh_inv is not None:
             x0 = pm.shard_stacked_video(x0, mesh_inv)
-        jax.block_until_ready(invert_fn(params_inv, x0, condJ,
-                                        jnp.asarray(inv_ts_np[:chunk])))
+        with _conv_forms.tconv_override("xla"):
+            jax.block_until_ready(invert_fn(params_inv, x0, condJ,
+                                            jnp.asarray(inv_ts_np[:chunk])))
         t0 = _time.perf_counter()
         parts, cur = [], x0
         for s in range(0, invert_steps, chunk):
@@ -823,8 +830,9 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         x0 = mk(F, H, W, 4).astype(jnp.float32)
         # compile outside the timed region (the persistent cache makes repeat
         # runs realistic); execution is timed
-        jax.block_until_ready(invert_fn(params, x0, cond1,
-                                        jnp.asarray(inv_ts_np[:chunk])))
+        with _conv_forms.tconv_override("xla"):
+            jax.block_until_ready(invert_fn(params, x0, cond1,
+                                            jnp.asarray(inv_ts_np[:chunk])))
 
         def invert_video(x0_j):
             parts = []

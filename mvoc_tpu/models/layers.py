@@ -182,7 +182,8 @@ def sdpa(
             # A/B'd here round 4 and measured 0.46 vs 0.85 steps/s on the
             # default preset — this kernel is 1.85x faster on this
             # workload; TPU_RUNS_r04.log ab_flash_impl_jax)
-            out = flash.flash_attention(qh, kh, vh)
+            out = flash.flash_attention(qh, kh, vh,
+                                        interpret=flash.env_interpret())
         return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
 
     # Short-sequence path (temporal seq=16, cross-attn 145 tokens).  The
@@ -209,7 +210,8 @@ def sdpa(
                     q, k, v, sq, heads, bias, mesh, sf_layout=True,
                     interpret=flash.env_interpret())
             return flash.frame_attention(q, k, v, sq, heads, bias,
-                                         sf_layout=True)
+                                         sf_layout=True,
+                                         interpret=flash.env_interpret())
 
     def attend(qc, kc, vc):
         bc = qc.shape[0]
@@ -299,7 +301,8 @@ def sdpa_frames(
             return flash.sharded_frame_attention(
                 q, k, v, f, heads, bias, mesh,
                 interpret=flash.env_interpret())
-        return flash.frame_attention(q, k, v, f, heads, bias)
+        return flash.frame_attention(q, k, v, f, heads, bias,
+                                     interpret=flash.env_interpret())
     qh = q.reshape(b, f, s, heads, d)
     kh = k.reshape(b, f, s, heads, d)
     vh = v.reshape(b, f, s, heads, d)

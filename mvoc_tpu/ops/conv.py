@@ -37,6 +37,7 @@ M = B*F*H*W via TCONV_STACK3_MAX_ROWS):
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional
 
@@ -180,7 +181,7 @@ _FORMS = {"stack9": conv3x3_stack9, "wcat3": conv3x3_wcat3,
 # MVOC_CONV_IMPL overrides every spatial 3x3 at once (xla | auto | stack9 |
 # wcat3 | im2col9); MVOC_TCONV_IMPL the temporal conv (xla | auto | stack3).
 SPATIAL_WINNERS: dict = {}
-TCONV_STACK3_MAX_ROWS = 2048
+TCONV_STACK3_MAX_ROWS = 4096
 
 
 def spatial_form(c_in: int, h: int, w: int):
@@ -198,9 +199,33 @@ def _tconv_max_rows() -> int:
     return int(os.environ.get("MVOC_TCONV_ROWS", TCONV_STACK3_MAX_ROWS))
 
 
+# Stage-keyed dispatch override (round-5 e2e A/B, TPU_RUNS_r05.log +
+# r04.log stage breakdowns): the stack3 dispatch is faster for the
+# COMPOSITE stage (22.24/22.28 s vs 22.69 s xla) but slower for the
+# deep-reuse INVERSION stage (167.3/167.7 s vs 164.9 s xla) — the same
+# GEMM row count meets different surrounding fusion contexts in the two
+# programs.  Pipelines wrap inversion traces in tconv_override("xla");
+# None defers to the MVOC_TCONV_IMPL env / threshold rule.
+_TCONV_OVERRIDE: Optional[str] = None
+
+
+@contextlib.contextmanager
+def tconv_override(impl: Optional[str]):
+    """Force the temporal-conv impl ('xla' | 'stack3' | None) for traces
+    performed inside the context (trace-time decision; compiled programs
+    keep whatever was active when they traced)."""
+    global _TCONV_OVERRIDE
+    prev = _TCONV_OVERRIDE
+    _TCONV_OVERRIDE = impl
+    try:
+        yield
+    finally:
+        _TCONV_OVERRIDE = prev
+
+
 def temporal_form(n_rows: int):
     """stack3 for small-row temporal convs (probed rule), else lax.conv."""
-    impl = os.environ.get("MVOC_TCONV_IMPL", "auto")
+    impl = _TCONV_OVERRIDE or os.environ.get("MVOC_TCONV_IMPL", "auto")
     if impl == "auto":
         impl = "stack3" if n_rows <= _tconv_max_rows() else None
     return tconv3_stack3 if impl == "stack3" else None

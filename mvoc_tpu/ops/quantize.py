@@ -131,6 +131,40 @@ def int8_conv(
     return (acc.astype(jnp.float32) * (x_scale * o_scale)).astype(out_dtype)
 
 
+def int8_tconv_stack3(
+    x5: jax.Array,                # [B, F, H, W, C]
+    kernel: QuantizedTensor,      # [3, 1, 1, C, O] int8 + per-O scale
+    *,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """w8a8 (3,1,1) temporal conv in the matmul form (ops/conv.tconv3_stack3).
+
+    XLA's int8 3D conv emitter measured BELOW bf16 on this shape (0.81x,
+    scripts/int8_probe.py r4); the stack3 re-expression turns it into one
+    MXU-aligned s8 GEMM [M, C] x [C, 3O] + a dequantized frame-shift adder.
+    The int8 kernel values are reused unchanged (quantization is per output
+    channel, so the per-column scale of stacked column (tap, o) is
+    scale[o]); activations get per-ROW scales — finer than int8_conv's
+    per-sample.  Same approximation class as int8_conv, not bitwise equal
+    (tap-sum order + scale granularity differ).  Dispatched from QuantConv
+    under MVOC_S8_IMPL=pallas."""
+    from mvoc_tpu.ops.s8gemm import s8_matmul
+
+    b, f, h, w, c = x5.shape
+    o = kernel.data.shape[-1]
+    xq, x_scale = _quantize_activation(x5, reduce_axes=(x5.ndim - 1,))
+    m = b * f * h * w
+    # [3,1,1,C,O] -> [C, 3*O] columns ordered (tap, o)
+    wstack = jnp.transpose(kernel.data[:, 0, 0], (1, 0, 2)).reshape(c, 3 * o)
+    col_scale = jnp.broadcast_to(
+        kernel.scale.reshape(1, o), (3, o)).reshape(3 * o)
+    y = s8_matmul(xq.reshape(m, c), wstack, x_scale.reshape(m), col_scale,
+                  out_dtype=jnp.float32).reshape(b, f, h, w, 3, o)
+    yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
+    out = yp[:, 0:f, :, :, 0] + y[:, :, :, :, 1] + yp[:, 2:f + 2, :, :, 2]
+    return out.astype(out_dtype)
+
+
 def int8_matmul(
     x: jax.Array,                 # [..., K]
     kernel: QuantizedTensor,      # [K, N] int8 + per-N scale
@@ -203,9 +237,24 @@ class QuantConv(nn.Conv):
             return super().__call__(inputs)
 
         if isinstance(kernel, QuantizedTensor):
+            import os
+
             strides, padding = self._geometry(kernel.data.ndim - 2)
-            y = int8_conv(inputs, kernel, strides=strides, padding=padding,
-                          out_dtype=self.dtype or jnp.float32)
+            y = None
+            if (os.environ.get("MVOC_S8_IMPL") == "pallas"
+                    and kernel.data.ndim == 5
+                    and tuple(kernel.data.shape[:3]) == (3, 1, 1)
+                    and not isinstance(padding, str)
+                    and tuple(strides) == (1, 1, 1)
+                    and tuple(map(tuple, padding)) == ((1, 1), (0, 0), (0, 0))
+                    and self.feature_group_count == 1 and self.mask is None):
+                # the (3,1,1) temporal conv as one pallas s8 GEMM — XLA's
+                # int8 3D conv emitter measured below bf16 here (r4 probe)
+                y = int8_tconv_stack3(inputs, kernel,
+                                      out_dtype=self.dtype or jnp.float32)
+            if y is None:
+                y = int8_conv(inputs, kernel, strides=strides, padding=padding,
+                              out_dtype=self.dtype or jnp.float32)
         else:
             from mvoc_tpu.ops import conv as conv_forms
 

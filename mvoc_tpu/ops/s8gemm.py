@@ -28,8 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _interpret() -> bool:
-    """CPU interpret mode for tests (same knob as ops/attention.py)."""
-    return bool(os.environ.get("MVOC_PALLAS_INTERPRET"))
+    """CPU interpret mode for tests — the shared MVOC_PALLAS_INTERPRET
+    knob, or MVOC_S8_INTERPRET to interpret ONLY this kernel (CI smokes
+    of the int8 path where interpret-mode attention would be too slow)."""
+    return bool(os.environ.get("MVOC_PALLAS_INTERPRET")
+                or os.environ.get("MVOC_S8_INTERPRET"))
 
 # Default blocking: s8 min tile is (32, 128); these are multiples.  VMEM at
 # (512, 512, 512): x 256 KB + w 256 KB + acc(s32) 1 MB + out 512 KB — well

@@ -485,23 +485,29 @@ class I2VGenXLPipeline:
         latents = self._shard_video(latents.astype(jnp.float32), 0)
 
         ts = inversion_timesteps(self.scheduler_config, num_inference_steps)
-        if encoder_reuse_interval > 1:
-            ua = self._reuse_unet_apply(encoder_reuse_depth)
-            invert_fn = jax.jit(
-                lambda p, x0, c, t: core.ddim_inversion_core(
-                    ua, self.ddim, p, x0, c, t,
-                    num_inference_steps, float(guidance_scale),
-                    encoder_reuse_interval=int(encoder_reuse_interval),
-                    deep_reuse=bool(deep_reuse),
+        from mvoc_tpu.ops import conv as conv_forms
+
+        # the stage-keyed temporal-conv rule (round-5 e2e stage A/B:
+        # inversion programs measured faster on XLA's conv emitter, the
+        # composite measured faster on the stack3 dot — ops/conv.py)
+        with conv_forms.tconv_override("xla"):
+            if encoder_reuse_interval > 1:
+                ua = self._reuse_unet_apply(encoder_reuse_depth)
+                invert_fn = jax.jit(
+                    lambda p, x0, c, t: core.ddim_inversion_core(
+                        ua, self.ddim, p, x0, c, t,
+                        num_inference_steps, float(guidance_scale),
+                        encoder_reuse_interval=int(encoder_reuse_interval),
+                        deep_reuse=bool(deep_reuse),
+                    )
                 )
-            )
-            trajectory = invert_fn(
-                self.params["unet"], latents, cond, jnp.asarray(ts))
-        else:
-            trajectory = self._invert_core(
-                self.params["unet"], latents, cond,
-                jnp.asarray(ts), num_inference_steps, float(guidance_scale),
-            )
+                trajectory = invert_fn(
+                    self.params["unet"], latents, cond, jnp.asarray(ts))
+            else:
+                trajectory = self._invert_core(
+                    self.params["unet"], latents, cond,
+                    jnp.asarray(ts), num_inference_steps, float(guidance_scale),
+                )
         trajectory = np.asarray(trajectory)
         if output_dir is not None:
             meta = dict(
@@ -576,12 +582,15 @@ class I2VGenXLPipeline:
         if encoder_reuse_interval > 1:
             kwargs = dict(encoder_reuse_interval=int(encoder_reuse_interval),
                           deep_reuse=bool(deep_reuse))
+        from mvoc_tpu.ops import conv as conv_forms
+
         batch_fn = jax.jit(
             lambda p, x, c, t: core.ddim_inversion_batch_core(
                 self._unet_apply, self.ddim, p, x, c, t,
                 num_inference_steps, **kwargs))
-        trajectory = np.asarray(batch_fn(
-            self.params["unet"], x0, cond, jnp.asarray(ts)))
+        with conv_forms.tconv_override("xla"):  # stage-keyed rule (invert)
+            trajectory = np.asarray(batch_fn(
+                self.params["unet"], x0, cond, jnp.asarray(ts)))
 
         if output_dirs is not None:
             for j, out_dir in enumerate(output_dirs):

@@ -116,6 +116,21 @@ def test_temporal_dispatch_boundary(monkeypatch):
     assert C.temporal_form(2 * thr + 1) is None
 
 
+def test_tconv_override_context(monkeypatch):
+    """tconv_override beats the env/threshold rule inside its context only
+    (the stage-keyed inversion-vs-composite dispatch)."""
+    monkeypatch.delenv("MVOC_TCONV_IMPL", raising=False)
+    monkeypatch.delenv("MVOC_TCONV_ROWS", raising=False)
+    small = C.TCONV_STACK3_MAX_ROWS  # would dispatch under the rule
+    assert C.temporal_form(small) is C.tconv3_stack3
+    with C.tconv_override("xla"):
+        assert C.temporal_form(small) is None
+        with C.tconv_override("stack3"):
+            assert C.temporal_form(10 ** 9) is C.tconv3_stack3
+        assert C.temporal_form(small) is None
+    assert C.temporal_form(small) is C.tconv3_stack3
+
+
 def test_quantconv_spatial_winner_table(monkeypatch):
     """A SPATIAL_WINNERS entry routes that tier through the matmul form."""
     from flax import linen as nn

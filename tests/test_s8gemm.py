@@ -60,6 +60,35 @@ def test_int8_matmul_pallas_dispatch(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
+def test_int8_tconv_stack3_close_to_int8_conv(monkeypatch):
+    """The pallas-s8 temporal conv (matmul form, per-row act scales) must
+    land in the same approximation class as int8_conv (per-sample scales):
+    both approximate the f32 conv, with the stack3 form at least as close
+    (finer activation scales)."""
+    from flax import linen as nn
+
+    from mvoc_tpu.ops.quantize import (QuantConv, int8_tconv_stack3,
+                                       quantize_tensor)
+
+    rng = np.random.default_rng(3)
+    x5 = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 1, 1, 16, 16)) * 0.1, jnp.float32)
+    wq = quantize_tensor(w, channel_axes=(4,))
+    got = int8_tconv_stack3(x5, wq, out_dtype=jnp.float32)
+    kw = dict(features=16, kernel_size=(3, 1, 1), use_bias=False,
+              padding=((1, 1), (0, 0), (0, 0)), dtype=jnp.float32)
+    exact = nn.Conv(**kw).apply({"params": {"kernel": w}}, x5)
+    assert got.shape == exact.shape
+    rel = float(jnp.linalg.norm(got - exact) / jnp.linalg.norm(exact))
+    assert rel < 0.05, rel  # int8 quantization noise, not a wiring bug
+
+    # QuantConv dispatches this path under MVOC_S8_IMPL=pallas
+    monkeypatch.setenv("MVOC_S8_IMPL", "pallas")
+    qc = QuantConv(**kw)
+    y = qc.apply({"params": {"kernel": wq}}, x5)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(got), atol=1e-5)
+
+
 def test_s8_matmul_quantdense_contract():
     """End-to-end against int8_matmul (the QuantDense path): quantize a
     real-valued activation+weight pair the production way, then both GEMMs

@@ -223,11 +223,22 @@ def tconv_override(impl: Optional[str]):
         _TCONV_OVERRIDE = prev
 
 
-def temporal_form(n_rows: int):
-    """stack3 for small-row temporal convs (probed rule), else lax.conv."""
+TCONV_STACK3_MAX_FRAMES = 16
+
+
+def temporal_form(n_rows: int, n_frames: int = 16):
+    """stack3 for small-row temporal convs (probed rule), else lax.conv.
+
+    Guarded to the probed frame range: every stack3 win was measured at
+    F<=16 ([1,16,8,8,1280] 25.4x ... [1,16,16,16,1280] 1.86x); the
+    64-frame window16 preset regressed 0.1851 -> 0.1668 steps/s the moment
+    the 4096-row threshold started dispatching its [1,64,8,8,C] captures
+    (TPU_RUNS_r05.log long64_honest), so F>16 stays on lax.conv."""
     impl = _TCONV_OVERRIDE or os.environ.get("MVOC_TCONV_IMPL", "auto")
     if impl == "auto":
-        impl = "stack3" if n_rows <= _tconv_max_rows() else None
+        impl = ("stack3" if (n_rows <= _tconv_max_rows()
+                             and n_frames <= TCONV_STACK3_MAX_FRAMES)
+                else None)
     return tconv3_stack3 if impl == "stack3" else None
 
 
@@ -260,7 +271,7 @@ def maybe_matmul_conv(x: jax.Array, kernel: jax.Array, *,
         n_rows = 1
         for d in x.shape[:-1]:
             n_rows *= int(d)
-        form = temporal_form(n_rows)
+        form = temporal_form(n_rows, int(x.shape[1]))
         if form is None:
             return None
         return form(x, kernel, out_dtype=out_dtype)

@@ -110,6 +110,11 @@ def test_temporal_dispatch_boundary(monkeypatch):
     assert C.temporal_form(thr) is C.tconv3_stack3
     assert C.temporal_form(thr + 1) is None
     assert C.temporal_form(2 * thr) is None
+    # frames beyond the probed range never dispatch (long64 regression)
+    fmax = C.TCONV_STACK3_MAX_FRAMES
+    assert C.temporal_form(thr, fmax) is C.tconv3_stack3
+    assert C.temporal_form(thr, fmax + 1) is None
+    assert C.temporal_form(1024, 64) is None
     # the env override used by on-chip A/Bs rebinds the threshold
     monkeypatch.setenv("MVOC_TCONV_ROWS", str(2 * thr))
     assert C.temporal_form(2 * thr) is C.tconv3_stack3

@@ -118,8 +118,17 @@ def flash_attention(
     b, h, sq, d = q.shape
     sk = k.shape[2]
     # block sizes decided by round-4 hardware A/Bs (TPU_RUNS_r04.log):
-    # q=512 stands (q=256 lost 0.8%, q=1024 was noise); k=512 lost 1.7%
-    block_q = block_q or _pick_block(sq, 512)
+    # q=512 stands (q=256 lost 0.8%, q=1024 was noise); k=512 lost 1.7%.
+    # Those A/Bs ran at 512px (seq 4096, where 512/1024 DIVIDE the seq);
+    # at 720p (seq 14400) _pick_block falls back to divisors 480/960 —
+    # fractional MXU tiles (480 = 3.75x128).  MVOC_FLASH_BLOCK_Q/K force
+    # aligned blocks with padding instead (the kernel masks K by seq_k and
+    # the padded q rows are sliced off) for the 720p A/B.
+    env_bq = int(os.environ.get("MVOC_FLASH_BLOCK_Q", 0))
+    env_bk = int(os.environ.get("MVOC_FLASH_BLOCK_K", 0))
+    block_q = block_q or env_bq or _pick_block(sq, 512)
+    if not block_k and env_bk and sk > 1024:
+        block_k = env_bk
     if not block_k:
         if sk <= 1024:
             # short K (cross-attention: 145 context tokens): ONE K block,

@@ -30,6 +30,21 @@ def test_flash_matches_reference(rng, sq, sk):
     np.testing.assert_allclose(np.asarray(out), _ref(q, k, v), atol=2e-5)
 
 
+def test_flash_env_blocks_non_divisor(rng, monkeypatch):
+    """MVOC_FLASH_BLOCK_Q/K force aligned blocks that need NOT divide the
+    sequence (padding + seq_k masking handle the remainder) — the 720p
+    A/B hook where _pick_block's divisors (480/960) are MXU-misaligned."""
+    b, h, d = 1, 2, 16
+    q = rng.standard_normal((b, h, 450, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, 1200, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, 1200, d), dtype=np.float32)
+    monkeypatch.setenv("MVOC_FLASH_BLOCK_Q", "128")
+    monkeypatch.setenv("MVOC_FLASH_BLOCK_K", "512")  # 1200 pads to 1536
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), _ref(q, k, v), atol=2e-5)
+
+
 def test_flash_bf16_io(rng):
     b, h, sq, d = 1, 2, 256, 8
     q = rng.standard_normal((b, h, sq, d), dtype=np.float32)

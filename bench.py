@@ -1177,12 +1177,15 @@ def main():
         hl, wl = (90, 160) if args.res == 720 else (64, 64)
         # 64-frame long video (BASELINE configs[3]): windowed temporal
         # attention + trajectories streamed through the on-disk store
-        # (HBM holds one scan chunk, not [500, 64, h, w, 4])
+        # (HBM holds one scan chunk, not [500, 64, h, w, 4]).  720p also
+        # streams: three resident [500,16,90,160,4] fp32 trajectories are
+        # 5.5 GB of HBM the exact e2e measured itself out of
+        # (RESOURCE_EXHAUSTED, TPU_RUNS_r05.log e2e_720p_exact attempt 1).
         long_video = args.frames == 64
         run_e2e(natural=args.natural, stream=not args.two_pass,
                 height_lat=hl, width_lat=wl, n_frames=args.frames,
                 temporal_window=16 if long_video else None,
-                stream_traj=long_video,
+                stream_traj=long_video or args.res == 720,
                 mesh_devices=args.mesh, batch=args.batch, reuse=args.reuse,
                 reuse_depth=args.reuse_depth, reuse_deep=args.reuse_deep,
                 capture_reuse=args.capture_reuse,

@@ -781,6 +781,81 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         reuse_kw = dict(encoder_reuse_interval=int(inv_k),
                         deep_reuse=bool(inv_deep))
 
+    # --- stage 2 SETUP + COMPILE first (trajectories zero-filled) --------
+    # The composite program compiles BEFORE the ~25-min inversion runs so
+    # a timeout/retry leaves the compile committed to the persistent cache
+    # (the flaky remote-compile service made long attempts all-or-nothing;
+    # r5 e2e_720p attempts died after the inversion, losing everything).
+    full_ts = sampling_timesteps(SchedulerConfig(), compose_steps)
+    run_ts = np.asarray(full_ts[1:])  # ddim_init_latents_t_idx = 1
+    S = len(run_ts)
+    masks = np.zeros((n_obj, F, H, W), np.float32)
+    masks[0, :, : H // 2] = 1.0
+    masks[1, :, :, : W // 2] = 1.0
+    res = [(H, W), ((H + 1) // 2, (W + 1) // 2), ((H + 3) // 4, (W + 3) // 4)]
+    pyr = {k: jnp.asarray(v)
+           for k, v in pnp_lib.build_mask_pyramid(masks, res).items()}
+    gates = pnp_lib.injection_gates(full_ts, run_ts, compose_steps,
+                                    0.8, 0.8, 0.8)
+    sched = core.CompositeSchedule(
+        bg_traj=jnp.zeros((S, F, H, W, 4), jnp.float32),
+        obj_traj=jnp.zeros((S, n_obj, F, H, W, 4), jnp.float32),
+        obj_fusion_lat=jnp.zeros((n_obj, F, H, W, 4), jnp.float32),
+        gate_spatial=jnp.asarray(gates["spatial"]),
+        gate_temporal=jnp.asarray(gates["temporal"]),
+        gate_conv=jnp.asarray(gates["conv"]),
+        fusion_mask=jnp.asarray([i < 3 for i in range(S)]),
+        timesteps=jnp.asarray(run_ts),
+    )
+    condN = cond_for(n_obj + 3)
+    cw = pnp_lib.build_capture_weights(pyr, pyr, True) if stream else None
+    comp_kw = {}
+    if reuse > 1:
+        comp_kw = dict(encoder_reuse_interval=int(reuse))
+    elif capture_reuse > 1:
+        assert stream, "--capture_reuse composes with the stream composite"
+        comp_kw = dict(capture_reuse_interval=int(capture_reuse),
+                       capture_reuse_deep=bool(capture_reuse_deep))
+    params_comp = params
+    svc = None
+    if mesh_comp is not None:
+        import dataclasses as _dc
+
+        params_comp = pm.shard_params(params, mesh_comp)
+        svc = lambda t, ax: pm.shard_video(t, mesh_comp, frame_axis=ax)
+        sched = _dc.replace(
+            sched, bg_traj=svc(sched.bg_traj, 1), obj_traj=svc(sched.obj_traj, 2),
+            obj_fusion_lat=svc(sched.obj_fusion_lat, 1))
+        condN = _dc.replace(
+            condN, image_latents_first=svc(condN.image_latents_first, 1),
+            image_latents=svc(condN.image_latents, 1))
+    compose_fn = jax.jit(lambda p, lat, c, s: core.pnp_composite_core(
+        apply_comp, ddim, p, lat, c, s, jnp.asarray(masks), pyr, pyr,
+        num_inference_steps=compose_steps, guidance_scale=9.0,
+        random_noise_ratio=0.5, two_pass="stream" if stream else False,
+        capture_weights=cw, **comp_kw))
+    xT = mk(F, H, W, 4).astype(jnp.float32)
+    if mesh_comp is not None:
+        xT = pm.shard_video(xT, mesh_comp, frame_axis=0)
+
+    def sched_slice(lo, hi):
+        import dataclasses as dc
+        return dc.replace(
+            sched, bg_traj=sched.bg_traj[lo:hi], obj_traj=sched.obj_traj[lo:hi],
+            gate_spatial=sched.gate_spatial[lo:hi],
+            gate_temporal=sched.gate_temporal[lo:hi],
+            gate_conv=sched.gate_conv[lo:hi],
+            fusion_mask=sched.fusion_mask[lo:hi],
+            timesteps=sched.timesteps[lo:hi])
+
+    # bounded executions (watchdog); chunks share one compiled program
+    c_chunk = 7  # 49 run steps = 7 x 7
+    while S % c_chunk != 0:
+        c_chunk -= 1
+    jax.block_until_ready(
+        compose_fn(params_comp, xT, condN, sched_slice(0, c_chunk)))  # compile
+
+    # --- stage 1: inversions ---------------------------------------------
     if batch or mesh_inv is not None:
         # batched inversion: J videos on the UNet batch axis; under a mesh
         # the J axis is padded to the "job" width so every slice owns a video
@@ -880,10 +955,9 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             jax.block_until_ready(trajs)
             t_invert = _time.perf_counter() - t0
 
-    # --- stage 2: 50-step composite -------------------------------------
-    full_ts = sampling_timesteps(SchedulerConfig(), compose_steps)
-    run_ts = np.asarray(full_ts[1:])  # ddim_init_latents_t_idx = 1
-    S = len(run_ts)
+    # --- stage 2: fill the schedule with the real trajectories -----------
+    import dataclasses as _dcr
+
     if stream_traj:
         # random-access gather of ONLY the composite's timesteps from the
         # on-disk stores (native/traj_codec.cpp random-access step reads)
@@ -902,71 +976,13 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         assert len(sel) == S, "compose timesteps must be a subset of inversion's"
         bg_traj = inv_np[0][sel]
         obj_traj = np.stack([inv_np[1][sel], inv_np[2][sel]], axis=1)
-    masks = np.zeros((n_obj, F, H, W), np.float32)
-    masks[0, :, : H // 2] = 1.0
-    masks[1, :, :, : W // 2] = 1.0
-    res = [(H, W), ((H + 1) // 2, (W + 1) // 2), ((H + 3) // 4, (W + 3) // 4)]
-    pyr = {k: jnp.asarray(v)
-           for k, v in pnp_lib.build_mask_pyramid(masks, res).items()}
-    gates = pnp_lib.injection_gates(full_ts, run_ts, compose_steps,
-                                    0.8, 0.8, 0.8)
-    sched = core.CompositeSchedule(
-        bg_traj=jnp.asarray(bg_traj, jnp.float32),
-        obj_traj=jnp.asarray(obj_traj, jnp.float32),
-        obj_fusion_lat=jnp.asarray(obj_traj[0], jnp.float32),
-        gate_spatial=jnp.asarray(gates["spatial"]),
-        gate_temporal=jnp.asarray(gates["temporal"]),
-        gate_conv=jnp.asarray(gates["conv"]),
-        fusion_mask=jnp.asarray([i < 3 for i in range(S)]),
-        timesteps=jnp.asarray(run_ts),
-    )
-    condN = cond_for(n_obj + 3)
-    cw = pnp_lib.build_capture_weights(pyr, pyr, True) if stream else None
-    comp_kw = {}
-    if reuse > 1:
-        comp_kw = dict(encoder_reuse_interval=int(reuse))
-    elif capture_reuse > 1:
-        assert stream, "--capture_reuse composes with the stream composite"
-        comp_kw = dict(capture_reuse_interval=int(capture_reuse),
-                       capture_reuse_deep=bool(capture_reuse_deep))
-    params_comp = params
-    if mesh_comp is not None:
-        import dataclasses as _dc
-
-        params_comp = pm.shard_params(params, mesh_comp)
-        svc = lambda t, ax: pm.shard_video(t, mesh_comp, frame_axis=ax)
-        sched = _dc.replace(
-            sched, bg_traj=svc(sched.bg_traj, 1), obj_traj=svc(sched.obj_traj, 2),
-            obj_fusion_lat=svc(sched.obj_fusion_lat, 1))
-        condN = _dc.replace(
-            condN, image_latents_first=svc(condN.image_latents_first, 1),
-            image_latents=svc(condN.image_latents, 1))
-    compose_fn = jax.jit(lambda p, lat, c, s: core.pnp_composite_core(
-        apply_comp, ddim, p, lat, c, s, jnp.asarray(masks), pyr, pyr,
-        num_inference_steps=compose_steps, guidance_scale=9.0,
-        random_noise_ratio=0.5, two_pass="stream" if stream else False,
-        capture_weights=cw, **comp_kw))
-    xT = mk(F, H, W, 4).astype(jnp.float32)
-    if mesh_comp is not None:
-        xT = pm.shard_video(xT, mesh_comp, frame_axis=0)
-
-    def sched_slice(lo, hi):
-        import dataclasses as dc
-        return dc.replace(
-            sched, bg_traj=sched.bg_traj[lo:hi], obj_traj=sched.obj_traj[lo:hi],
-            gate_spatial=sched.gate_spatial[lo:hi],
-            gate_temporal=sched.gate_temporal[lo:hi],
-            gate_conv=sched.gate_conv[lo:hi],
-            fusion_mask=sched.fusion_mask[lo:hi],
-            timesteps=sched.timesteps[lo:hi])
-
-    # bounded executions (watchdog, see above); chunks share one compiled
-    # program when equally sized
-    c_chunk = 7  # 49 run steps = 7 x 7
-    while S % c_chunk != 0:
-        c_chunk -= 1
-    jax.block_until_ready(
-        compose_fn(params_comp, xT, condN, sched_slice(0, c_chunk)))  # compile
+    bg_dev = jnp.asarray(bg_traj, jnp.float32)
+    obj_dev = jnp.asarray(obj_traj, jnp.float32)
+    fus_dev = jnp.asarray(obj_traj[0], jnp.float32)
+    if svc is not None:
+        bg_dev, obj_dev, fus_dev = svc(bg_dev, 1), svc(obj_dev, 2), svc(fus_dev, 1)
+    sched = _dcr.replace(sched, bg_traj=bg_dev, obj_traj=obj_dev,
+                         obj_fusion_lat=fus_dev)
 
     t0 = _time.perf_counter()
     lat = xT

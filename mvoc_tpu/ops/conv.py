@@ -229,11 +229,12 @@ TCONV_STACK3_MAX_FRAMES = 16
 def temporal_form(n_rows: int, n_frames: int = 16):
     """stack3 for small-row temporal convs (probed rule), else lax.conv.
 
-    Guarded to the probed frame range: every stack3 win was measured at
-    F<=16 ([1,16,8,8,1280] 25.4x ... [1,16,16,16,1280] 1.86x); the
-    64-frame window16 preset regressed 0.1851 -> 0.1668 steps/s the moment
-    the 4096-row threshold started dispatching its [1,64,8,8,C] captures
-    (TPU_RUNS_r05.log long64_honest), so F>16 stays on lax.conv."""
+    Guarded to the probed envelope: every stack3 win was measured at
+    F<=16 ([1,16,8,8,1280] 25.4x ... [1,16,16,16,1280] 1.86x — on-chip
+    probes, ROUND_NOTES r4), so F>16 geometries stay on lax.conv rather
+    than extrapolating the rule beyond its measurements.  (An r5 ledger
+    entry initially blamed a long64 'regression' on F=64 dispatch — that
+    was a config mix-up, see ROUND_NOTES r5 'long64: CORRECTED'.)"""
     impl = _TCONV_OVERRIDE or os.environ.get("MVOC_TCONV_IMPL", "auto")
     if impl == "auto":
         impl = ("stack3" if (n_rows <= _tconv_max_rows()

@@ -797,9 +797,15 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
            for k, v in pnp_lib.build_mask_pyramid(masks, res).items()}
     gates = pnp_lib.injection_gates(full_ts, run_ts, compose_steps,
                                     0.8, 0.8, 0.8)
+    # streamed mode keeps the [S, ...] trajectories HOST-side and
+    # device-puts only each c_chunk slice at call time (~90 MB): the
+    # resident arrays (615 MB at 64f, 540 MB at 720p) plus the composite
+    # working set measured RESOURCE_EXHAUSTED at 64f
+    _traj_arr = (lambda *s: np.zeros(s, np.float32)) if stream_traj \
+        else (lambda *s: jnp.zeros(s, jnp.float32))
     sched = core.CompositeSchedule(
-        bg_traj=jnp.zeros((S, F, H, W, 4), jnp.float32),
-        obj_traj=jnp.zeros((S, n_obj, F, H, W, 4), jnp.float32),
+        bg_traj=_traj_arr(S, F, H, W, 4),
+        obj_traj=_traj_arr(S, n_obj, F, H, W, 4),
         obj_fusion_lat=jnp.zeros((n_obj, F, H, W, 4), jnp.float32),
         gate_spatial=jnp.asarray(gates["spatial"]),
         gate_temporal=jnp.asarray(gates["temporal"]),
@@ -840,8 +846,12 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
 
     def sched_slice(lo, hi):
         import dataclasses as dc
+        # host-side trajectories (stream_traj) become device arrays here,
+        # one chunk at a time; device-resident ones are cheap slices
         return dc.replace(
-            sched, bg_traj=sched.bg_traj[lo:hi], obj_traj=sched.obj_traj[lo:hi],
+            sched,
+            bg_traj=jnp.asarray(sched.bg_traj[lo:hi], jnp.float32),
+            obj_traj=jnp.asarray(sched.obj_traj[lo:hi], jnp.float32),
             gate_spatial=sched.gate_spatial[lo:hi],
             gate_temporal=sched.gate_temporal[lo:hi],
             gate_conv=sched.gate_conv[lo:hi],
@@ -976,8 +986,13 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
         assert len(sel) == S, "compose timesteps must be a subset of inversion's"
         bg_traj = inv_np[0][sel]
         obj_traj = np.stack([inv_np[1][sel], inv_np[2][sel]], axis=1)
-    bg_dev = jnp.asarray(bg_traj, jnp.float32)
-    obj_dev = jnp.asarray(obj_traj, jnp.float32)
+    if stream_traj:
+        # trajectories stay host-side; sched_slice device-puts each chunk
+        bg_dev = np.asarray(bg_traj, np.float32)
+        obj_dev = np.asarray(obj_traj, np.float32)
+    else:
+        bg_dev = jnp.asarray(bg_traj, jnp.float32)
+        obj_dev = jnp.asarray(obj_traj, jnp.float32)
     fus_dev = jnp.asarray(obj_traj[0], jnp.float32)
     if svc is not None:
         bg_dev, obj_dev, fus_dev = svc(bg_dev, 1), svc(obj_dev, 2), svc(fus_dev, 1)

@@ -626,7 +626,7 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             reuse_depth=None, reuse_deep: bool = False,
             capture_reuse: int = 1, capture_reuse_deep: bool = False,
             inv_reuse: int = 0, inv_reuse_deep: bool = False,
-            int8: bool = False, temporal_window=None,
+            int8=False, temporal_window=None,
             stream_traj: bool = False):
     """End-to-end MVOC workflow wall-clock: DDIM-invert the background +
     2 object videos (500 steps each, cfg=1, like the reference's stage 1 —
@@ -733,10 +733,14 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             p))(params)
     if int8:
-        from mvoc_tpu.ops.quantize import default_unet_predicate, quantize_params
+        # int8 is False | True/"full" | "mixed" (the probe-measured winner
+        # selection — quantize.mixed_unet_predicate)
+        from mvoc_tpu.ops.quantize import (default_unet_predicate,
+                                           mixed_unet_predicate,
+                                           quantize_params)
 
-        params = jax.jit(lambda p: quantize_params(
-            p, predicate=default_unet_predicate))(params)
+        pred = mixed_unet_predicate if int8 == "mixed" else default_unet_predicate
+        params = jax.jit(lambda p: quantize_params(p, predicate=pred))(params)
     ddim = DDIM(SchedulerConfig())
 
     def make_apply(mesh):
@@ -1055,7 +1059,7 @@ def run_e2e(natural: bool, height_lat: int = 64, width_lat: int = 64,
            if inv_reuse > 1 else "")
         + ("_capreuse%d%s" % (capture_reuse, "deep" if capture_reuse_deep
                               else "") if capture_reuse > 1 else "")
-        + ("_int8" if int8 else ""),
+        + ("" if not int8 else "_int8mix" if int8 == "mixed" else "_int8"),
         "value": round(total, 2),
         "unit": "s",
         "vs_baseline": None,
@@ -1133,12 +1137,19 @@ def main():
                     help="(step presets) w8a8-quantize the UNet kernels "
                     "(ops/quantize; approximate — drift in --preset "
                     "quality); metric gains an _int8 suffix")
+    ap.add_argument("--int8_mixed", action="store_true",
+                    help="(step presets) w8a8-quantize ONLY the probe-"
+                    "measured int8 winners (1280-tier GEMMs + deep temporal "
+                    "convs as s8 stack3 dots — quantize.mixed_unet_"
+                    "predicate); metric gains an _int8mix suffix")
     args = ap.parse_args()
     if args.trace and args.preset in ("e2e", "quality"):
         ap.error("--trace applies to the step presets, not e2e/quality")
-    if args.int8 and args.preset == "quality":
+    if (args.int8 or args.int8_mixed) and args.preset == "quality":
         ap.error("--int8 applies to the step/e2e presets (quality reports "
                  "int8 drift on its own)")
+    if args.int8 and args.int8_mixed:
+        ap.error("--int8 and --int8_mixed are exclusive")
 
     import jax
 
@@ -1222,7 +1233,7 @@ def main():
                 capture_reuse=args.capture_reuse,
                 capture_reuse_deep=args.capture_reuse_deep,
                 inv_reuse=args.inv_reuse, inv_reuse_deep=args.inv_reuse_deep,
-                int8=args.int8)
+                int8="mixed" if args.int8_mixed else args.int8)
         return
 
     iters = args.iters or (10 if args.preset.startswith("full")
@@ -1231,16 +1242,18 @@ def main():
         args.preset, natural=args.natural, reuse_depth=args.reuse_depth)
     import jax.numpy as jnp
 
-    if args.int8:
+    if args.int8 or args.int8_mixed:
         # load-time param transform; QuantConv/QuantDense dispatch on the
         # kernel leaf type, every step program below is otherwise unchanged
-        from mvoc_tpu.ops.quantize import default_unet_predicate, quantize_params
+        from mvoc_tpu.ops.quantize import (default_unet_predicate,
+                                           mixed_unet_predicate,
+                                           quantize_params)
 
-        params = jax.jit(lambda p: quantize_params(
-            p, predicate=default_unet_predicate))(params)
+        pred = mixed_unet_predicate if args.int8_mixed else default_unet_predicate
+        params = jax.jit(lambda p: quantize_params(p, predicate=pred))(params)
         jax.block_until_ready(params)
         global METRIC_SUFFIX
-        METRIC_SUFFIX = "_int8"
+        METRIC_SUFFIX = "_int8mix" if args.int8_mixed else "_int8"
 
     gate = jnp.asarray(True)  # traced input: injection work cannot be DCE'd
     if args.stream and args.capture_reuse > 1:

@@ -126,23 +126,29 @@ def apply_mesh(pipe, args, template_cfg):
 
 
 def apply_quantize(pipe, template_cfg):
-    """Template key `quantize: int8` — w8a8-quantize the UNet kernels
-    (approximate; pipeline.enable_int8).  Any other value raises; absent or
-    falsy leaves the exact bf16 path untouched."""
+    """Template key `quantize: int8 | int8_mixed` — w8a8-quantize UNet
+    kernels (approximate; pipeline.enable_int8).  `int8_mixed` quantizes
+    only the probe-measured winners (1280-tier GEMMs + deep temporal convs
+    as s8 stack3 dots); `int8` quantizes everything non-anchoring.  Any
+    other value raises; absent or falsy leaves the exact bf16 path
+    untouched."""
     q = template_cfg.get("quantize", None)
     if q in (None, "", False, "off", "none"):
         return pipe
-    if str(q) != "int8":
-        raise ValueError(f"quantize: {q!r} — the only supported mode is 'int8'")
+    if str(q) not in ("int8", "int8_mixed"):
+        raise ValueError(
+            f"quantize: {q!r} — supported modes are 'int8' and 'int8_mixed'")
     logger.warning(
-        "quantize: int8 is an APPROXIMATE mode (w8a8 UNet kernels) — "
+        "quantize: %s is an APPROXIMATE mode (w8a8 UNet kernels) — "
         "quantify the drift for your content via bench.py --preset quality "
-        "or recon_config.enable_recon before production use.  On TPU v5e "
-        "it is also MEASURED SLOWER than bf16 (0.45 vs 0.85 steps/s, "
-        "TPU_RUNS_r04.log int8_default — XLA's int8 conv does not reach "
-        "the 2x s8 MXU rate); enable only on int8-native hardware or for "
-        "memory, not speed")
-    return pipe.enable_int8()
+        "or recon_config.enable_recon before production use", q)
+    if str(q) == "int8":
+        logger.warning(
+            "quantize: int8 (full) is MEASURED SLOWER than bf16 on TPU v5e "
+            "(0.45 vs 0.85 steps/s, TPU_RUNS_r04.log int8_default — thin-K "
+            "GEMMs and spatial int8 convs lose); prefer 'int8_mixed' (the "
+            "measured-winner selection) or int8-native hardware")
+    return pipe.enable_int8(mode="mixed" if str(q) == "int8_mixed" else "full")
 
 
 def check_replaceme(cfg) -> None:

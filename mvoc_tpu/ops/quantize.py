@@ -131,6 +131,34 @@ def int8_conv(
     return (acc.astype(jnp.float32) * (x_scale * o_scale)).astype(out_dtype)
 
 
+def _s8_gemm(
+    xq: jax.Array,        # [M, K] int8
+    wq: jax.Array,        # [K, N] int8
+    x_scale: jax.Array,   # [M] f32 per-row scales
+    w_scale: jax.Array,   # [N] f32 per-column scales
+    *,
+    out_dtype,
+) -> jax.Array:
+    """One s8 x s8 -> s32 GEMM + fused dequant epilogue, impl-dispatched.
+
+    Default is XLA's int8 dot (the r5 probe measured it at/above the
+    hand-tiled kernel on every workload GEMM: ff_1280 1.51x bf16, the
+    stacked tconv 5.0x — TPU_RUNS_r05.log s8_gemm_probe_final);
+    MVOC_S8_IMPL=pallas routes through ops/s8gemm.py's blocked kernel,
+    kept as the parity-pinned reference implementation of the probe."""
+    import os
+
+    if os.environ.get("MVOC_S8_IMPL") == "pallas":
+        from mvoc_tpu.ops.s8gemm import s8_matmul
+
+        return s8_matmul(xq, wq, x_scale, w_scale, out_dtype=out_dtype)
+    acc = jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    deq = acc.astype(jnp.float32) * (x_scale.reshape(-1, 1).astype(jnp.float32)
+                                     * w_scale.reshape(1, -1).astype(jnp.float32))
+    return deq.astype(out_dtype)
+
+
 def int8_tconv_stack3(
     x5: jax.Array,                # [B, F, H, W, C]
     kernel: QuantizedTensor,      # [3, 1, 1, C, O] int8 + per-O scale
@@ -141,15 +169,14 @@ def int8_tconv_stack3(
 
     XLA's int8 3D conv emitter measured BELOW bf16 on this shape (0.81x,
     scripts/int8_probe.py r4); the stack3 re-expression turns it into one
-    MXU-aligned s8 GEMM [M, C] x [C, 3O] + a dequantized frame-shift adder.
-    The int8 kernel values are reused unchanged (quantization is per output
-    channel, so the per-column scale of stacked column (tap, o) is
-    scale[o]); activations get per-ROW scales — finer than int8_conv's
-    per-sample.  Same approximation class as int8_conv, not bitwise equal
-    (tap-sum order + scale granularity differ).  Dispatched from QuantConv
-    under MVOC_S8_IMPL=pallas."""
-    from mvoc_tpu.ops.s8gemm import s8_matmul
-
+    MXU-aligned s8 GEMM [M, C] x [C, 3O] + a dequantized frame-shift adder —
+    measured 5.0x bf16 through the XLA int8 dot at the deep-tier geometry
+    (tconv_1280, TPU_RUNS_r05.log s8_gemm_probe_final).  The int8 kernel
+    values are reused unchanged (quantization is per output channel, so the
+    per-column scale of stacked column (tap, o) is scale[o]); activations
+    get per-ROW scales — finer than int8_conv's per-sample.  Same
+    approximation class as int8_conv, not bitwise equal (tap-sum order +
+    scale granularity differ)."""
     b, f, h, w, c = x5.shape
     o = kernel.data.shape[-1]
     xq, x_scale = _quantize_activation(x5, reduce_axes=(x5.ndim - 1,))
@@ -158,8 +185,8 @@ def int8_tconv_stack3(
     wstack = jnp.transpose(kernel.data[:, 0, 0], (1, 0, 2)).reshape(c, 3 * o)
     col_scale = jnp.broadcast_to(
         kernel.scale.reshape(1, o), (3, o)).reshape(3 * o)
-    y = s8_matmul(xq.reshape(m, c), wstack, x_scale.reshape(m), col_scale,
-                  out_dtype=jnp.float32).reshape(b, f, h, w, 3, o)
+    y = _s8_gemm(xq.reshape(m, c), wstack, x_scale.reshape(m), col_scale,
+                 out_dtype=jnp.float32).reshape(b, f, h, w, 3, o)
     yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
     out = yp[:, 0:f, :, :, 0] + y[:, :, :, :, 1] + yp[:, 2:f + 2, :, :, 2]
     return out.astype(out_dtype)
@@ -179,24 +206,14 @@ def int8_matmul(
     hand-tiled Pallas kernel (ops/s8gemm.py — VMEM-resident s32
     accumulator, dequant fused into the store) instead of XLA's int8
     dot; the default is decided by scripts/s8_gemm_probe.py."""
-    import os
-
     xq, x_scale = _quantize_activation(x, reduce_axes=(x.ndim - 1,))
     o_scale = kernel.scale.reshape(kernel.scale.shape[-1])
-    if os.environ.get("MVOC_S8_IMPL") == "pallas":
-        from mvoc_tpu.ops.s8gemm import s8_matmul
-
-        m = 1
-        for d in x.shape[:-1]:
-            m *= int(d)
-        out = s8_matmul(xq.reshape(m, x.shape[-1]), kernel.data,
-                        x_scale.reshape(m), o_scale, out_dtype=out_dtype)
-        return out.reshape(x.shape[:-1] + (kernel.data.shape[-1],))
-    acc = jax.lax.dot_general(
-        xq, kernel.data,
-        (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    return (acc.astype(jnp.float32) * (x_scale * o_scale)).astype(out_dtype)
+    m = 1
+    for d in x.shape[:-1]:
+        m *= int(d)
+    out = _s8_gemm(xq.reshape(m, x.shape[-1]), kernel.data,
+                   x_scale.reshape(m), o_scale, out_dtype=out_dtype)
+    return out.reshape(x.shape[:-1] + (kernel.data.shape[-1],))
 
 
 # ---------------------------------------------------------------------------
@@ -237,19 +254,27 @@ class QuantConv(nn.Conv):
             return super().__call__(inputs)
 
         if isinstance(kernel, QuantizedTensor):
-            import os
+            from mvoc_tpu.ops import conv as conv_forms
 
             strides, padding = self._geometry(kernel.data.ndim - 2)
             y = None
-            if (os.environ.get("MVOC_S8_IMPL") == "pallas"
-                    and kernel.data.ndim == 5
+            m_rows = 1
+            for d in inputs.shape[:-1]:
+                m_rows *= int(d)
+            if (kernel.data.ndim == 5
                     and tuple(kernel.data.shape[:3]) == (3, 1, 1)
                     and not isinstance(padding, str)
                     and tuple(strides) == (1, 1, 1)
                     and tuple(map(tuple, padding)) == ((1, 1), (0, 0), (0, 0))
-                    and self.feature_group_count == 1 and self.mask is None):
-                # the (3,1,1) temporal conv as one pallas s8 GEMM — XLA's
-                # int8 3D conv emitter measured below bf16 here (r4 probe)
+                    and self.feature_group_count == 1 and self.mask is None
+                    and m_rows <= conv_forms._tconv_max_rows()
+                    and inputs.shape[1] <= conv_forms.TCONV_STACK3_MAX_FRAMES):
+                # the (3,1,1) temporal conv as one s8 stack3 GEMM within the
+                # probed M/F envelope: XLA's int8 3D conv emitter measured
+                # below bf16 here (0.81x, r4 probe) while the stacked s8 dot
+                # measured 5.0x (r5 s8_gemm_probe_final).  The bf16
+                # stage-keyed tconv_override is NOT consulted: its +/-1.5%
+                # stage effect is noise next to the int8 emitter-vs-dot gap.
                 y = int8_tconv_stack3(inputs, kernel,
                                       out_dtype=self.dtype or jnp.float32)
             if y is None:
@@ -326,21 +351,59 @@ def default_unet_predicate(names: Sequence[str]) -> bool:
     return not any(any(s in n for s in skip) for n in names)
 
 
+def mixed_unet_predicate(names: Sequence[str], leaf) -> bool:
+    """Measured-boundary int8 selection: quantize ONLY where w8a8 beat bf16
+    in the on-chip probes, keep everything else exact-bf16.
+
+    The r4/r5 probes put the full int8 step at a 1.9x LOSS because the
+    flops-dominant thin-K GEMMs lose (ff_320 0.74x — quant/dequant
+    epilogues swamp a K=320 GEMM) and spatial int8 convs hover at
+    0.8-1.15x.  The measured winners are the deep-tier GEMMs through XLA's
+    int8 dot (TPU_RUNS_r05.log s8_gemm_probe_final: ff_1280 1.51x,
+    ff_1280_out 1.09x, qkv_1280 1.06x, stacked tconv_1280 5.0x), bounding
+    what int8 can buy on v5e at ~+7% of the step.  This predicate ships
+    exactly that boundary:
+
+      * dense kernels with contraction K >= 1280 (the 1280-tier FF and
+        attention projections; thin-K 320/640 tiers stay bf16);
+      * (3,1,1) temporal conv kernels with C_in >= 1280 (run as the s8
+        stack3 GEMM from QuantConv);
+      * spatial convs and everything in `default_unet_predicate`'s skip
+        list stay bf16.
+    """
+    if not default_unet_predicate(names):
+        return False
+    if leaf.ndim == 2:                       # dense [K, N]
+        return leaf.shape[0] >= 1280
+    if leaf.ndim == 5:                       # 3D conv [kf, kh, kw, C, O]
+        return (tuple(leaf.shape[:3]) == (3, 1, 1)
+                and leaf.shape[3] >= 1280)
+    return False
+
+
 def quantize_params(params, *, predicate=None):
-    """Quantize every conv/dense kernel in a flax param tree to int8.
+    """Quantize conv/dense kernels in a flax param tree to int8.
 
     Runs ONCE outside the step function (loop-invariant weights must not be
-    re-quantized per step).  `predicate(path_names) -> bool` optionally
-    restricts which kernels quantize (e.g. skip zero-init temporal conv4 or
-    tiny projections); default quantizes all kernel leaves.
+    re-quantized per step).  `predicate` optionally restricts which kernels
+    quantize — either `predicate(path_names) -> bool` or
+    `predicate(path_names, leaf) -> bool` (shape-aware selections like
+    `mixed_unet_predicate` need the leaf); default quantizes all kernel
+    leaves.
     """
+    import inspect
+
+    takes_leaf = (predicate is not None
+                  and len(inspect.signature(predicate).parameters) >= 2)
+
     def visit(path, leaf):
         axes = _is_conv_or_dense_kernel(path, leaf)
         if axes is None:
             return leaf
         if predicate is not None:
             names = tuple(str(getattr(p, "key", p)) for p in path)
-            if not predicate(names):
+            ok = predicate(names, leaf) if takes_leaf else predicate(names)
+            if not ok:
                 return leaf
         return quantize_tensor(leaf, axes)
 

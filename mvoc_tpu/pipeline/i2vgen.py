@@ -139,8 +139,15 @@ class I2VGenXLPipeline:
                 self._build_jits()
         return self
 
-    def enable_int8(self, predicate=None) -> "I2VGenXLPipeline":
+    def enable_int8(self, predicate=None, mode: str = "full") -> "I2VGenXLPipeline":
         """Quantize the UNet's conv/dense kernels to int8 (w8a8).
+
+        `mode="mixed"` quantizes only the measured int8 winners (1280-tier
+        GEMMs + deep (3,1,1) temporal convs as s8 stack3 dots —
+        ops/quantize.mixed_unet_predicate, the r5 probe's precise int8
+        boundary on v5e); `mode="full"` quantizes per
+        `default_unet_predicate` (measured 1.9x SLOWER than bf16 on v5e —
+        kept for int8-native hardware + drift studies).
 
         An APPROXIMATE acceleration mode in the same contract as
         capture/encoder reuse (drift quantified by utils/quality; the torch
@@ -162,13 +169,18 @@ class I2VGenXLPipeline:
                 "shardings (int32 accumulation is associative, so sharded "
                 "w8a8 stays bit-exact), but re-quantizing already-sharded "
                 "params is not supported")
-        from mvoc_tpu.ops.quantize import default_unet_predicate, quantize_params
+        from mvoc_tpu.ops.quantize import (default_unet_predicate,
+                                           mixed_unet_predicate,
+                                           quantize_params)
 
-        pred = predicate if predicate is not None else default_unet_predicate
+        if mode not in ("full", "mixed"):
+            raise ValueError(f"enable_int8 mode {mode!r}: 'full' or 'mixed'")
+        pred = predicate if predicate is not None else (
+            mixed_unet_predicate if mode == "mixed" else default_unet_predicate)
         self.params = dict(self.params)
         self.params["unet"] = jax.jit(
             lambda p: quantize_params(p, predicate=pred))(self.params["unet"])
-        logger.info("UNet params quantized to int8 (w8a8)")
+        logger.info("UNet params quantized to int8 (w8a8, %s selection)", mode)
         return self
 
     def _shard_video(self, x: jax.Array, frame_axis: int = 0) -> jax.Array:

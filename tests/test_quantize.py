@@ -245,3 +245,79 @@ def test_quantize_params_predicate():
         params, predicate=lambda names: "skip_me" not in names)
     assert isinstance(qp["params"]["q_me"]["kernel"], Q.QuantizedTensor)
     assert not isinstance(qp["params"]["skip_me"]["kernel"], Q.QuantizedTensor)
+
+
+def test_mixed_predicate_selects_measured_winners():
+    """mixed_unet_predicate ships the r5 probe's int8 boundary exactly:
+    deep-tier (K>=1280) dense GEMMs and deep (3,1,1) temporal convs
+    quantize; thin-K denses, spatial convs, and the anchor skip-list stay
+    bf16 (TPU_RUNS_r05.log s8_gemm_probe_final)."""
+    mk = lambda *s: jnp.zeros(s, jnp.float32)
+    names = ("up_blocks_1", "ff", "kernel")
+    # dense [K, N]: 1280-tier in/out win, 320-tier loses
+    assert Q.mixed_unet_predicate(names, mk(1280, 10240))
+    assert Q.mixed_unet_predicate(names, mk(5120, 1280))
+    assert not Q.mixed_unet_predicate(names, mk(320, 2560))
+    assert not Q.mixed_unet_predicate(names, mk(640, 5120))
+    # (3,1,1) temporal conv at C>=1280 wins (s8 stack3 dot, 5.0x); spatial
+    # 3x3 and shallow temporal stay bf16
+    assert Q.mixed_unet_predicate(names, mk(3, 1, 1, 1280, 1280))
+    assert not Q.mixed_unet_predicate(names, mk(3, 1, 1, 320, 320))
+    assert not Q.mixed_unet_predicate(names, mk(3, 3, 1280, 1280))
+    # anchor skip-list still wins over shape
+    assert not Q.mixed_unet_predicate(("conv_out", "kernel"), mk(1280, 1280))
+
+
+def test_quantize_params_shape_aware_predicate():
+    """quantize_params accepts 2-arg (names, leaf) predicates; the mixed
+    selection leaves sub-tier kernels as PLAIN arrays so those layers keep
+    the bitwise-exact bf16 dispatch."""
+    from flax import linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(8, name="deep")(nn.Dense(1280, name="thin")(x))
+
+    params = M().init(jax.random.key(0), jnp.ones((1, 64)))
+    qp = Q.quantize_params(params, predicate=Q.mixed_unet_predicate)
+    # thin: K=64 < 1280 -> plain; deep: K=1280 -> quantized
+    assert not isinstance(qp["params"]["thin"]["kernel"], Q.QuantizedTensor)
+    assert isinstance(qp["params"]["deep"]["kernel"], Q.QuantizedTensor)
+
+
+def test_quantconv_tconv_s8_stack3_dispatch_and_envelope(monkeypatch):
+    """The quantized (3,1,1) conv dispatches the s8 stack3 GEMM inside the
+    probed M/F envelope WITHOUT MVOC_S8_IMPL set (the XLA int8 dot is the
+    probe-decided default), and falls back to int8_conv outside it.  Both
+    paths approximate the same f32 conv; they differ bitwise (per-row vs
+    per-sample activation scales), which is what detects the dispatch."""
+    from flax import linen as nn
+
+    monkeypatch.delenv("MVOC_S8_IMPL", raising=False)
+    rng = np.random.default_rng(7)
+    x5 = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 16)), jnp.float32)
+    kw = dict(features=16, kernel_size=(3, 1, 1), use_bias=False,
+              padding=((1, 1), (0, 0), (0, 0)), dtype=jnp.float32)
+    m = Q.QuantConv(**kw)
+    params = m.init(jax.random.key(0), x5)
+    qp = Q.quantize_params(params)
+    wq = qp["params"]["kernel"]
+    exact = nn.Conv(**kw).apply(params, x5)
+
+    in_env = m.apply(qp, x5)                       # M=64 <= threshold
+    np.testing.assert_allclose(
+        np.asarray(in_env),
+        np.asarray(Q.int8_tconv_stack3(x5, wq, out_dtype=jnp.float32)),
+        atol=1e-5)
+    monkeypatch.setenv("MVOC_TCONV_ROWS", "32")    # force envelope miss
+    out_env = m.apply(qp, x5)
+    np.testing.assert_allclose(
+        np.asarray(out_env),
+        np.asarray(Q.int8_conv(x5, wq, strides=(1, 1, 1),
+                               padding=((1, 1), (0, 0), (0, 0)),
+                               out_dtype=jnp.float32)),
+        atol=1e-5)
+    for y in (in_env, out_env):
+        assert _rel_err(y, exact) < 0.05
+    assert not np.array_equal(np.asarray(in_env), np.asarray(out_env))
